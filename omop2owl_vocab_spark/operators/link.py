@@ -1,0 +1,82 @@
+"""S4 — entity linking: connected components over the equivalence graph (G1).
+
+The reference emits 'Maps to' edges but never merges them
+(``omop2owl_vocab.py:584`` merely includes them); the north rule mandates
+equivalence canonicalization, so this is new surface.
+
+Algorithm: iterative min-label propagation — each round every node takes
+the minimum label among itself and its neighbors; converges in O(diameter)
+rounds (O(log n) on typical mapping graphs whose components are small and
+star-shaped).  Driver-side loop, not a Catalyst rule:
+
+- ``localCheckpoint()`` every round truncates lineage (else the plan doubles
+  per iteration and the driver OOMs planning round ~15);
+- labels only ever decrease, so convergence = zero changed rows;
+- round cap guards pathological everything-maps-to-everything graphs; the
+  per-round changed-count is recorded for the stage metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> tuple[DataFrame, dict]:
+    """Return ``(labels, stats)`` with labels = (node, component) and
+    component = min node id (lexicographic — ids are strings end-to-end,
+    matching the reference's all-string data plane) in the component.
+
+    Input edges need not be symmetric or deduplicated.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    stats: dict = {"rounds": 0, "changed_per_round": []}
+    for _ in range(max_iter):
+        # neighbor labels: edge (a,b) sends b's label to a
+        msgs = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        stats["rounds"] += 1
+        stats["changed_per_round"].append(changed)
+        if changed == 0:
+            break
+    return labels, stats
+
+
+def canonical_map(labels: DataFrame) -> DataFrame:
+    """G1 output → rewrite map (member, canonical), identity rows dropped
+    so the downstream join touches only rows that actually change."""
+    return labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("member"), F.col("label").alias("canonical")
+    )

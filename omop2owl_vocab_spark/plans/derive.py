@@ -1,0 +1,182 @@
+"""S1 — grafted derivation: ``code_files`` → (concepts, raw_edges).
+
+Maps the code-repo source table (BASELINE input_hint) onto the reference's
+two-table shape (SURVEY §1.5) so every downstream stage is domain-agnostic.
+All transforms are built-in JVM expressions (``xxhash64``, ``sha2``,
+``split``, ``regexp_extract_all`` …) — strictly faster than even Arrow UDFs;
+no per-row Python anywhere.
+
+Concept mapping (SURVEY §1.5):
+  concept_id        = abs(xxhash64(repo‖path‖commit)) as decimal string
+  concept_name      = last path segment
+  vocabulary_id     = lang            (the skew analog)
+  domain_id         = repo
+  concept_class_id  = file extension  ('dir' for directory concepts)
+  concept_code      = path
+  standard_concept  = 'S'
+  src_sha256        = sha2(content, 256)   (the per-row invariant)
+
+Directory concepts are synthesized for every path prefix (vocabulary_id=''
+→ 'Metadata' partition, reference X8 semantics) so containment 'Is a'
+edges resolve to real subjects.
+
+Edge derivation (same schema as concept_relationship, so S2+ apply as-is):
+  - containment: file →('Is a')→ parent dir →('Is a')→ grandparent …
+  - same-content: rows sharing sha256(content) → star 'Maps to' edges to
+    the group's min concept_id (CC input; avoids O(k²) pair blowup)
+  - imports: ``import pkgN.modM`` lines matched per-repo against module
+    stems (equi-join; unresolvable imports drop — dangling-object asymmetry
+    R7 allows objects without concept rows, but we need a real id to emit)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_IMPORT_RE = r"import\s+(pkg\d+\.mod\d+)"
+
+
+def _file_concept_id() -> F.Column:
+    return F.abs(
+        F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+    ).cast("string")
+
+
+def _dir_concept_id(repo: F.Column, dirpath: F.Column) -> F.Column:
+    return F.abs(F.xxhash64(repo, dirpath, F.lit("dir"))).cast("string")
+
+
+def derive_file_concepts(code_files: DataFrame) -> DataFrame:
+    """File-row concepts only — stateless (streaming-safe)."""
+    return code_files.select(
+        _file_concept_id().alias("concept_id"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("concept_name"),
+        F.col("repo").alias("domain_id"),
+        F.col("lang").alias("vocabulary_id"),
+        F.regexp_extract(F.col("path"), r"\.([^./]+)$", 1).alias("concept_class_id"),
+        F.lit("S").alias("standard_concept"),
+        F.col("path").alias("concept_code"),
+        F.lit("").alias("valid_start_date"),
+        F.lit("").alias("valid_end_date"),
+        F.lit("").alias("invalid_reason"),
+        F.sha2(F.col("content"), 256).alias("src_sha256"),
+    )
+
+
+def derive_concepts(code_files: DataFrame) -> DataFrame:
+    """File concepts ∪ synthesized directory concepts (batch path).
+
+    Directory concepts need a global ``distinct`` (stateful), so the
+    streaming path uses :func:`derive_file_concepts` only."""
+    files = derive_file_concepts(code_files)
+    dirs = _dir_paths(code_files).select(
+        _dir_concept_id(F.col("repo"), F.col("dirpath")).alias("concept_id"),
+        F.element_at(F.split(F.col("dirpath"), "/"), -1).alias("concept_name"),
+        F.col("repo").alias("domain_id"),
+        F.lit("").alias("vocabulary_id"),
+        F.lit("dir").alias("concept_class_id"),
+        F.lit("S").alias("standard_concept"),
+        F.col("dirpath").alias("concept_code"),
+        F.lit("").alias("valid_start_date"),
+        F.lit("").alias("valid_end_date"),
+        F.lit("").alias("invalid_reason"),
+        F.lit("").alias("src_sha256"),
+    )
+    return files.unionByName(dirs)
+
+
+def _dir_paths(code_files: DataFrame) -> DataFrame:
+    """Distinct (repo, dirpath) for every proper path prefix — built with
+    ``transform(sequence(...))`` + ``explode``, no Python."""
+    parts = F.split(F.col("path"), "/")
+    prefixes = F.expr(
+        "transform(sequence(1, size(split(path, '/')) - 1), "
+        "k -> array_join(slice(split(path, '/'), 1, k), '/'))"
+    )
+    return (
+        code_files.select("repo", F.explode(prefixes).alias("dirpath"))
+        .filter(F.col("dirpath") != "")
+        .distinct()
+    )
+
+
+def _edge(c1: F.Column, c2: F.Column, rel: str) -> list[F.Column]:
+    return [
+        c1.alias("concept_id_1"),
+        c2.alias("concept_id_2"),
+        F.lit(rel).alias("relationship_id"),
+        F.lit("").alias("valid_start_date"),
+        F.lit("").alias("valid_end_date"),
+        F.lit("").alias("invalid_reason"),
+    ]
+
+
+def derive_edges(code_files: DataFrame) -> DataFrame:
+    """Containment ∪ same-sha 'Maps to' ∪ import edges."""
+    repo = F.col("repo")
+
+    # file → immediate parent directory
+    parent_dir = F.expr(
+        "array_join(slice(split(path, '/'), 1, size(split(path, '/')) - 1), '/')"
+    )
+    file_contain = code_files.filter(F.size(F.split(F.col("path"), "/")) > 1).select(
+        *_edge(_file_concept_id(), _dir_concept_id(repo, parent_dir), "Is a")
+    )
+
+    # dir → parent dir
+    dirs = _dir_paths(code_files).filter(F.size(F.split(F.col("dirpath"), "/")) > 1)
+    dir_parent = F.expr(
+        "array_join(slice(split(dirpath, '/'), 1, size(split(dirpath, '/')) - 1), '/')"
+    )
+    dir_contain = dirs.select(
+        *_edge(
+            _dir_concept_id(repo, F.col("dirpath")),
+            _dir_concept_id(repo, dir_parent),
+            "Is a",
+        )
+    )
+
+    # same-content equivalence: star to the group min (CC-friendly, no k²)
+    by_sha = code_files.select(
+        _file_concept_id().alias("cid"), F.sha2(F.col("content"), 256).alias("sha")
+    )
+    hubs = by_sha.groupBy("sha").agg(
+        F.min("cid").alias("hub"), F.count("*").alias("n")
+    ).filter(F.col("n") > 1)
+    maps_to = (
+        by_sha.join(hubs, "sha")
+        .filter(F.col("cid") != F.col("hub"))
+        .select(*_edge(F.col("cid"), F.col("hub"), "Maps to"))
+    )
+
+    # imports: token → (repo, pkg.stem) equi-join against module stems
+    imports = code_files.select(
+        _file_concept_id().alias("src_cid"),
+        repo.alias("r"),
+        # NB: F.regexp_extract_all with a Column pattern, NOT F.expr with an
+        # interpolated regex — SQL string literals eat the backslashes.
+        F.explode(
+            F.regexp_extract_all("content", F.lit(_IMPORT_RE), 1)
+        ).alias("tok"),
+    )
+    targets = code_files.select(
+        _file_concept_id().alias("dst_cid"),
+        repo.alias("r"),
+        F.concat(
+            F.element_at(F.split(F.col("path"), "/"), -2),
+            F.lit("."),
+            F.regexp_replace(
+                F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]+$", ""
+            ),
+        ).alias("tok"),
+    )
+    import_edges = (
+        imports.join(targets, ["r", "tok"])
+        .filter(F.col("src_cid") != F.col("dst_cid"))
+        .select(*_edge(F.col("src_cid"), F.col("dst_cid"), "imports"))
+    )
+
+    return file_contain.unionByName(dir_contain).unionByName(maps_to).unionByName(
+        import_edges
+    )

@@ -1,0 +1,178 @@
+"""Pipeline orchestration — the engine's ``omop2owl()`` equivalent
+(reference orchestrator at ``omop2owl_vocab.py:430-545``).
+
+One lazy DAG per stage, checkpointed between stages:
+
+    S1 derive   code_files → (concepts, raw_edges)          [code mode]
+                or concept/concept_relationship CSVs        [omop compat mode]
+    S2+S3 emit  R1-R6 triple emission                       → triples_raw
+    S4 link     equivalence edges → connected components    → canon_map
+    S5 canon    canonical rewrite + dedupe                  → triples
+    S6 write    salted repartition → partitionBy(vocabulary_id)
+
+Where the reference bounds memory by *sequential per-vocab subruns*
+(``split_by_vocab``, omop2owl_vocab.py:462-540, "Use this option if running
+out of memory"), we get the same isolation from partition parallelism, and
+handle the SNOMED-analog skew (one giant ``lang``) by salting the final
+repartition: files per output partition stay bounded regardless of vocab
+size, and no text-stitching merge stage exists because ``union`` is a
+logical-plan node.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omop2owl_vocab_spark.operators.canon import canonicalize_triples
+from omop2owl_vocab_spark.operators.emit import emit_triples
+from omop2owl_vocab_spark.operators.link import canonical_map, connected_components
+from omop2owl_vocab_spark.plans.checkpoint import CheckpointManager
+from omop2owl_vocab_spark.plans.derive import derive_concepts, derive_edges
+from omop2owl_vocab_spark.sources.code_files import read_code_files
+from omop2owl_vocab_spark.sources.omop import (
+    read_concept,
+    read_concept_relationship,
+)
+
+ONTOLOGY_IRI_FMT = "http://purl.obolibrary.org/obo/{}/ontology"  # R9 (:445-446)
+
+
+@dataclass
+class PipelineConfig:
+    source: str  # code_files location (code mode) or concept CSV path (omop mode)
+    output_dir: str
+    mode: str = "code"  # 'code' | 'omop'
+    concept_relationship_path: str | None = None  # omop mode only
+    ontology_id: str = "OMOP"
+    relationships: list[str] = field(default_factory=lambda: ["ALL"])
+    vocabs: list[str] = field(default_factory=list)  # R8 scoping; [] = all
+    equivalence_rels: list[str] = field(default_factory=lambda: ["Maps to"])
+    canonicalize: bool = True
+    exclude_singletons: bool = False
+    resume: bool = True
+    # salting: vocabs whose triple count exceeds this get hash-salted into
+    # this many sub-buckets at the final repartition
+    salt_threshold_rows: int = 5_000_000
+    salt_buckets: int = 16
+
+    def key(self) -> dict:
+        d = asdict(self)
+        d.pop("resume")
+        return d
+
+
+def _load_inputs(
+    spark: SparkSession, cfg: PipelineConfig, ckpt: CheckpointManager
+) -> tuple[DataFrame, DataFrame]:
+    if cfg.mode == "code":
+        code = read_code_files(spark, cfg.source)
+        concepts, _ = ckpt.get_or_compute(
+            spark, "s1_concepts", lambda: derive_concepts(code),
+            lineage_col="vocabulary_id", resume=cfg.resume,
+        )
+        edges, _ = ckpt.get_or_compute(
+            spark, "s1_edges", lambda: derive_edges(code),
+            lineage_col="relationship_id", resume=cfg.resume,
+        )
+    elif cfg.mode == "omop":
+        concepts = read_concept(spark, cfg.source)
+        edges = read_concept_relationship(spark, cfg.concept_relationship_path)
+    else:
+        raise ValueError(f"unknown mode {cfg.mode!r}")
+
+    if cfg.vocabs:  # R8 (omop2owl_vocab.py:396-401); F4 subsumed by R7 —
+        # forward edges need c1∈concepts, reverse need both, which is
+        # strictly tighter than the reference's either-endpoint keep.
+        concepts = concepts.filter(F.col("vocabulary_id").isin(cfg.vocabs))
+    return concepts, edges
+
+
+def _salted_repartition(triples: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Skew-aware final layout: vocabs above threshold spread over
+    ``salt_buckets`` hash buckets; small vocabs land in one task each."""
+    counts = {
+        r[0]: r[1]
+        for r in triples.groupBy("vocabulary_id").count().collect()
+    }
+    big = [v for v, n in counts.items() if n >= cfg.salt_threshold_rows]
+    if big:
+        salt = F.when(
+            F.col("vocabulary_id").isin(big),
+            F.pmod(F.xxhash64("subj"), F.lit(cfg.salt_buckets)),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    n_parts = max(len(counts), 1) + len(big) * (cfg.salt_buckets - 1)
+    return triples.repartition(n_parts, F.col("vocabulary_id"), salt)
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
+    """Execute S1→S6; returns a report dict (the reference returns a dict of
+    output paths, omop2owl_vocab.py:476,545)."""
+    ckpt = CheckpointManager(
+        os.path.join(cfg.output_dir, "ckpt"), cfg.key()
+    )
+    report: dict = {"config_hash": ckpt.hash, "stages": {}}
+
+    concepts, edges = _load_inputs(spark, cfg, ckpt)
+
+    triples_raw, cached = ckpt.get_or_compute(
+        spark,
+        "s3_triples_raw",
+        lambda: emit_triples(
+            concepts,
+            edges,
+            relationships=cfg.relationships,
+            exclude_singletons=cfg.exclude_singletons,
+        ),
+        lineage_col="vocabulary_id",
+        resume=cfg.resume,
+    )
+    report["stages"]["s3_triples_raw"] = {"cached": cached}
+
+    if cfg.canonicalize:
+        def _canon_map() -> DataFrame:
+            eq = edges.filter(
+                F.col("relationship_id").isin(cfg.equivalence_rels)
+            ).select(
+                F.col("concept_id_1").alias("src"),
+                F.col("concept_id_2").alias("dst"),
+            )
+            labels, stats = connected_components(eq)
+            report["stages"]["s4_link"] = stats
+            return canonical_map(labels)
+
+        canon, cached = ckpt.get_or_compute(
+            spark, "s4_canon_map", _canon_map, resume=cfg.resume
+        )
+        report["stages"]["s4_canon_map"] = {"cached": cached}
+        triples, cached = ckpt.get_or_compute(
+            spark,
+            "s5_triples",
+            lambda: canonicalize_triples(triples_raw, canon),
+            lineage_col="vocabulary_id",
+            resume=cfg.resume,
+        )
+        report["stages"]["s5_triples"] = {"cached": cached}
+    else:
+        triples = triples_raw
+
+    out_dir = os.path.join(cfg.output_dir, "triples")
+    final = _salted_repartition(triples, cfg)
+    final.write.mode("overwrite").partitionBy("vocabulary_id").parquet(out_dir)
+
+    manifest = {
+        "ontology_iri": ONTOLOGY_IRI_FMT.format(cfg.ontology_id),
+        "config_hash": ckpt.hash,
+        "config": {k: str(v) for k, v in cfg.key().items()},
+    }
+    with open(os.path.join(cfg.output_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+    report["output"] = out_dir
+    return report

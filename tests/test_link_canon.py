@@ -1,0 +1,57 @@
+"""G1/G2: connected components + canonical rewrite unit tests."""
+
+from pyspark.sql import Row
+
+from omop2owl_vocab_spark.operators.canon import canonicalize_triples
+from omop2owl_vocab_spark.operators.link import canonical_map, connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_cc_two_components(spark):
+    labels, stats = connected_components(
+        _edges(spark, [("2", "1"), ("2", "3"), ("5", "4"), ("9", "9")])
+    )
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    # '9'→'9' self-loop is dropped; singleton nodes never enter the graph
+    assert got == {"1": "1", "2": "1", "3": "1", "4": "4", "5": "4"}
+    assert stats["changed_per_round"][-1] == 0
+
+
+def test_cc_chain_converges(spark):
+    # path graph 1-2-3-4-5-6: diameter 5, min label must reach the far end
+    pairs = [(str(i), str(i + 1)) for i in range(1, 6)]
+    labels, stats = connected_components(_edges(spark, pairs))
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert set(got.values()) == {"1"}
+    assert stats["rounds"] <= 6
+
+
+def test_canonical_rewrite(spark):
+    labels, _ = connected_components(_edges(spark, [("20", "10")]))
+    cmap = canonical_map(labels)
+    assert {tuple(r) for r in cmap.collect()} == {("20", "10")}
+    triples = spark.createDataFrame(
+        [
+            Row(subj="OMOP:20", pred="rdf:type", obj="owl:Class",
+                obj_is_literal=False, vocabulary_id="x", src_sha256=""),
+            Row(subj="OMOP:10", pred="rdf:type", obj="owl:Class",
+                obj_is_literal=False, vocabulary_id="x", src_sha256=""),
+            Row(subj="OMOP:30", pred="rdfs:subClassOf", obj="OMOP:20",
+                obj_is_literal=False, vocabulary_id="x", src_sha256=""),
+            # literal obj that looks like a member id must NOT be rewritten
+            Row(subj="OMOP:30", pred="rdfs:label", obj="OMOP:20",
+                obj_is_literal=True, vocabulary_id="x", src_sha256=""),
+        ]
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in canonicalize_triples(triples, cmap).collect()
+    }
+    assert out == {
+        ("OMOP:10", "rdf:type", "owl:Class"),  # 20 merged into 10, deduped
+        ("OMOP:30", "rdfs:subClassOf", "OMOP:10"),
+        ("OMOP:30", "rdfs:label", "OMOP:20"),
+    }
