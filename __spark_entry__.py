@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full KG triple emission (R1-R6 semantics,
+SURVEY §1.4) over TPC-H-shaped concept/edge derivations at sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY §2 plus the training-data-pipeline operators (dedup, similarity,
+text analysis).  Every float-valued output is exported as
+``floor(x*10^k + 0.5)`` fixed-point so the DuckDB comparison is exact.
+Non-SQL-expressible ops (minhash LSH, simhash via pandas UDF, mapInPandas
+multimodal features, hyperplane ANN) have no oracle entry → rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +16,766 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- flagship
+
+def _kg_concepts_edges(spark: SparkSession, sf_dir: str):
+    """Deterministic OMOP-shaped derivation from TPC-H tables:
+    concepts = customers ∪ nations; edges = customer-'Is a'-nation,
+    customer-'lives in/near'-nation (sanitizer path), nation-'Region of'-
+    region (dangling objects — no region concepts exist → exercises the R7
+    forward-edge asymmetry)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    empty = F.lit("")
+
+    c_concepts = customer.select(
+        F.col("c_custkey").cast("string").alias("concept_id"),
+        F.col("c_name").alias("concept_name"),
+        F.lit("customer").alias("domain_id"),
+        F.col("c_mktsegment").alias("vocabulary_id"),
+        F.lit("cust").alias("concept_class_id"),
+        F.lit("S").alias("standard_concept"),
+        F.col("c_custkey").cast("string").alias("concept_code"),
+        empty.alias("valid_start_date"),
+        empty.alias("valid_end_date"),
+        empty.alias("invalid_reason"),
+    )
+    n_concepts = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("concept_id"),
+        F.col("n_name").alias("concept_name"),
+        F.lit("nation").alias("domain_id"),
+        F.lit("Geo").alias("vocabulary_id"),
+        F.lit("nation").alias("concept_class_id"),
+        F.lit("S").alias("standard_concept"),
+        F.col("n_name").alias("concept_code"),
+        empty.alias("valid_start_date"),
+        empty.alias("valid_end_date"),
+        empty.alias("invalid_reason"),
+    )
+    concepts = c_concepts.unionByName(n_concepts)
+
+    def edge(c1, c2, rel):
+        return [
+            c1.alias("concept_id_1"),
+            c2.alias("concept_id_2"),
+            F.lit(rel).alias("relationship_id"),
+            empty.alias("valid_start_date"),
+            empty.alias("valid_end_date"),
+            empty.alias("invalid_reason"),
+        ]
+
+    cust_nation = F.concat(F.lit("N"), F.col("c_nationkey").cast("string"))
+    e1 = customer.select(*edge(F.col("c_custkey").cast("string"), cust_nation, "Is a"))
+    e2 = customer.select(
+        *edge(F.col("c_custkey").cast("string"), cust_nation, "lives in/near")
+    )
+    e3 = nation.select(
+        *edge(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")),
+            "Region of",
+        )
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return concepts, edges
+
+
+def _kg_full_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2owl_vocab_spark.operators.emit import emit_triples
+
+    concepts, edges = _kg_concepts_edges(spark, sf_dir)
+    return emit_triples(concepts, edges, relationships=["ALL"]).select(
+        "subj", "pred", "obj"
+    )
+
+
+_KG_FULL_EMISSION_SQL = """
+WITH concepts AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS concept_id, c_name AS concept_name,
+         'customer' AS domain_id, c_mktsegment AS vocabulary_id,
+         'cust' AS concept_class_id, 'S' AS standard_concept,
+         CAST(c_custkey AS VARCHAR) AS concept_code
+  FROM customer
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR), n_name, 'nation', 'Geo',
+         'nation', 'S', n_name
+  FROM nation
+),
+edges AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS c1,
+         'N' || CAST(c_nationkey AS VARCHAR) AS c2, 'Is a' AS rel
+  FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), 'N' || CAST(c_nationkey AS VARCHAR),
+         'lives in/near'
+  FROM customer
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+         'R' || CAST(n_regionkey AS VARCHAR), 'Region of'
+  FROM nation
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT 'OMOP:' || concept_id AS subj, 'rdf:type' AS pred,
+         'owl:Class' AS obj FROM concepts
+  UNION ALL
+  SELECT 'OMOP:' || concept_id, 'rdfs:label', concept_name
+  FROM concepts WHERE concept_name <> ''
+  UNION ALL
+  SELECT 'OMOP:' || concept_id, 'OMOP:domain_id', domain_id
+  FROM concepts WHERE domain_id <> ''
+  UNION ALL
+  SELECT 'OMOP:' || concept_id, 'OMOP:vocabulary_id', vocabulary_id
+  FROM concepts WHERE vocabulary_id <> ''
+  UNION ALL
+  SELECT 'OMOP:' || concept_id, 'OMOP:concept_class_id', concept_class_id
+  FROM concepts WHERE concept_class_id <> ''
+  UNION ALL
+  SELECT 'OMOP:' || concept_id, 'OMOP:standard_concept', standard_concept
+  FROM concepts WHERE standard_concept <> ''
+  UNION ALL
+  SELECT 'OMOP:' || concept_id, 'OMOP:concept_code', concept_code
+  FROM concepts WHERE concept_code <> ''
+  UNION ALL
+  -- edges: forward only; subject must be a concept (R7); objects may dangle
+  SELECT 'OMOP:' || e.c1,
+         CASE WHEN e.rel = 'Is a' THEN 'rdfs:subClassOf'
+              ELSE 'omoprel:' || replace(replace(e.rel, ' ', '_'), '/', '.')
+         END,
+         'OMOP:' || e.c2
+  FROM edges e WHERE e.c1 IN (SELECT concept_id FROM concepts)
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _kg_full_emission(spark, SF0001)
+
+
+# ---------------------------------------------------------------- KG ops
+
+
+def _kg_concept_unpivot(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.select(
+        F.concat(F.lit("OMOP:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.expr(
+            "stack(4, 'rdf:type', 'doc', 'OMOP:lang', lang, "
+            "'OMOP:source', source, 'OMOP:n_chars', cast(n_chars as string)) "
+            "as (pred, obj)"
+        ),
+    )
+    return out.filter(F.col("obj") != "")
+
+
+_KG_CONCEPT_UNPIVOT_SQL = """
+SELECT * FROM (
+  SELECT 'OMOP:' || CAST(doc_id AS VARCHAR) AS subj, 'rdf:type' AS pred,
+         'doc' AS obj FROM documents
+  UNION ALL
+  SELECT 'OMOP:' || CAST(doc_id AS VARCHAR), 'OMOP:lang', lang FROM documents
+  UNION ALL
+  SELECT 'OMOP:' || CAST(doc_id AS VARCHAR), 'OMOP:source', source FROM documents
+  UNION ALL
+  SELECT 'OMOP:' || CAST(doc_id AS VARCHAR), 'OMOP:n_chars',
+         CAST(n_chars AS VARCHAR) FROM documents
+) WHERE obj <> ''
+"""
+
+
+def _kg_edges_resolve(spark, sf_dir):
+    from omop2owl_vocab_spark.functions.sanitize import sanitize_predicate_col
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .select(
+            F.concat(F.lit("OMOP:"), F.col("o_orderkey").cast("string")).alias("subj"),
+            F.concat(
+                F.lit("omoprel:"), sanitize_predicate_col(F.lit("placed by"))
+            ).alias("pred"),
+            F.concat(F.lit("OMOP:"), F.col("o_custkey").cast("string")).alias("obj"),
+        )
+    )
+
+
+_KG_EDGES_RESOLVE_SQL = """
+SELECT 'OMOP:' || CAST(o_orderkey AS VARCHAR) AS subj,
+       'omoprel:placed_by' AS pred,
+       'OMOP:' || CAST(o_custkey AS VARCHAR) AS obj
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def _kg_sanitize(spark, sf_dir):
+    from omop2owl_vocab_spark.functions.sanitize import sanitize_predicate_col
+
+    part = _t(spark, sf_dir, "part")
+    raw = F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand"))
+    return part.select(
+        raw.alias("rel"),
+        F.concat(F.lit("omoprel:"), sanitize_predicate_col(raw)).alias("pred"),
+    ).distinct()
+
+
+_KG_SANITIZE_SQL = """
+SELECT DISTINCT p_type || '/' || p_brand AS rel,
+       'omoprel:' || replace(replace(replace(replace(p_type || '/' || p_brand,
+            ' ', '_'), ',', '_'), '/', '.'), '#', '-') AS pred
+FROM part
+"""
+
+
+def _kg_adjacency(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(F.lit("OMOP:"), F.col("n_nationkey").cast("string"))
+                    )
+                ),
+            ).alias("members"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
+
+
+_KG_ADJACENCY_SQL = """
+SELECT r_name AS region_name,
+       string_agg('OMOP:' || CAST(n_nationkey AS VARCHAR), '|'
+                  ORDER BY 'OMOP:' || CAST(n_nationkey AS VARCHAR)) AS members,
+       COUNT(*) AS n_members
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------- relational operator ops
+
+
+def _q_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_discount") > 0.05)
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+    )
+
+
+_Q_FILTER_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+FROM lineitem WHERE l_returnflag = 'A' AND l_discount > 0.05
+"""
+
+
+def _q_isin(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+
+
+_Q_ISIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+"""
+
+
+def _q_semi_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+_Q_SEMI_JOIN_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+"""
+
+
+def _q_anti_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey"
+    )
+
+
+_Q_ANTI_JOIN_SQL = """
+SELECT p_partkey FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+"""
+
+
+def _q_union_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_partkey").alias("id"))
+        .unionByName(li.select(F.col("l_suppkey").alias("id")))
+        .distinct()
+    )
+
+
+_Q_UNION_DISTINCT_SQL = """
+SELECT l_partkey AS id FROM lineitem UNION SELECT l_suppkey FROM lineitem
+"""
+
+
+def _q_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+_Q_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def _q_sort_limit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_e2"),
+        )
+    )
+
+
+_Q_SORT_LIMIT_SQL = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def _q_groupby_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("sum_qty_e2"),
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sum_disc_price_e2"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+_Q_GROUPBY_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(floor(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2,
+       CAST(floor(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+         AS sum_disc_price_e2,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_join_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+_Q_JOIN_AGG_SQL = """
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_first_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+_Q_FIRST_ORDER_SQL = """
+SELECT o_custkey, strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def _q_event_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("sum_value_e2"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value_e2",
+        )
+    )
+
+
+_Q_EVENT_WINDOWS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- dedup / text ops
+
+
+def _dd_exact(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_duplicates(corpus)
+
+
+_DD_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+h AS (SELECT doc_id, md5(text) AS hh FROM corpus),
+g AS (SELECT hh, MIN(doc_id) AS canonical_id, COUNT(*) AS n FROM h GROUP BY hh)
+SELECT g.canonical_id, h.doc_id AS dup_id
+FROM h JOIN g ON h.hh = g.hh
+WHERE g.n > 1 AND h.doc_id <> g.canonical_id
+"""
+
+
+def _dd_jaccard(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(word_shingles(docs, 3), threshold=0.2)
+
+
+_DD_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+             AS shingle
+    FROM t WHERE len(toks) >= 3
+  ) WHERE shingle <> ''
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM s GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5)
+            AS BIGINT) AS jaccard_e4
+FROM inter
+JOIN sz za ON za.id = id_a
+JOIN sz zb ON zb.id = id_b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.2
+"""
+
+
+def _txt_token_stats(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+_TXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(ceil(len(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT)
+         AS n_subwords,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def _txt_quality(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.text import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_TXT_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+         len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(floor(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10000 + 0.5)
+       AS BIGINT) AS punct_ratio_e4,
+  CAST(floor(CAST(len(list_filter(toks,
+         x -> lower(x) IN ('the','and','of'))) AS DOUBLE)
+       / greatest(len(toks), 1) * 10000 + 0.5) AS BIGINT) AS stopword_ratio_e4,
+  CAST(floor(CAST(n_nonspace AS DOUBLE) / greatest(len(toks), 1) * 10000 + 0.5)
+       AS BIGINT) AS mean_token_len_e4
+FROM base
+"""
+
+
+def _txt_lang_id(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+_TXT_LANG_ID_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x <> ''), x -> lower(x)) AS tk
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    len(list_filter(tk, x -> x IN ('the','and','of'))) AS s_en,
+    len(list_filter(tk, x -> x IN ('der','und','die'))) AS s_de,
+    len(list_filter(tk, x -> x IN ('le','la','et')))   AS s_fr,
+    len(list_filter(tk, x -> x IN ('el','de','que')))  AS s_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       ELSE 'de' END AS lang_guess,
+  CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS marker_hits
+FROM sc
+"""
+
+
+def _txt_fingerprint(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_TXT_FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp_md5
+  FROM documents
+)
+SELECT doc_id, fp_md5,
+       CAST(strpos('0123456789abcdef', substr(fp_md5, 1, 1)) - 1 AS BIGINT)
+         AS fp_bucket
+FROM fp
+"""
+
+
+# --------------------------------------------------------- similarity ops
+
+
+def _sim_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        "vec_id",
+        F.floor(norm * 10000 + F.lit(0.5)).cast("long").alias("norm_e4"),
+    )
+
+
+_SIM_NORMS_SQL = """
+SELECT vec_id,
+       CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * 10000 + 0.5) AS BIGINT) AS norm_e4
+FROM embeddings
+"""
+
+
+def _sim_cosine_topk(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+_SIM_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM r WHERE rank <= 10
+"""
+
+
+# --------------------------------------------- rows-only (no SQL oracle)
+
+
+def _dd_minhash_lsh(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(word_shingles(docs), 32), bands=8)
+
+
+def _dd_simhash(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_signatures,
+    )
+
+    return simhash_near_duplicates(
+        simhash_signatures(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sim_ann_bucketed(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.similarity import ann_topk_bucketed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_bucketed(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _mm_features(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    return extract_features(synth_media(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------- exports
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG engine (SURVEY §2 core)
+        "kg_full_emission": _kg_full_emission,
+        "kg_concept_unpivot": _kg_concept_unpivot,
+        "kg_edges_resolve": _kg_edges_resolve,
+        "kg_sanitize": _kg_sanitize,
+        "kg_adjacency": _kg_adjacency,
+        # relational operator inventory (F/J/A/O/U/X families)
+        "q_filter": _q_filter,
+        "q_isin": _q_isin,
+        "q_semi_join": _q_semi_join,
+        "q_anti_join": _q_anti_join,
+        "q_union_distinct": _q_union_distinct,
+        "q_distinct": _q_distinct,
+        "q_sort_limit": _q_sort_limit,
+        "q_groupby_agg": _q_groupby_agg,
+        "q_join_agg": _q_join_agg,
+        "q_first_order": _q_first_order,
+        "q_event_windows": _q_event_windows,
+        # training-data pipeline ops
+        "dd_exact": _dd_exact,
+        "dd_jaccard": _dd_jaccard,
+        "dd_minhash_lsh": _dd_minhash_lsh,
+        "dd_simhash": _dd_simhash,
+        "txt_token_stats": _txt_token_stats,
+        "txt_quality": _txt_quality,
+        "txt_lang_id": _txt_lang_id,
+        "txt_fingerprint": _txt_fingerprint,
+        "sim_norms": _sim_norms,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_ann_bucketed": _sim_ann_bucketed,
+        "mm_features": _mm_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_full_emission": _KG_FULL_EMISSION_SQL,
+        "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
+        "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,
+        "kg_sanitize": _KG_SANITIZE_SQL,
+        "kg_adjacency": _KG_ADJACENCY_SQL,
+        "q_filter": _Q_FILTER_SQL,
+        "q_isin": _Q_ISIN_SQL,
+        "q_semi_join": _Q_SEMI_JOIN_SQL,
+        "q_anti_join": _Q_ANTI_JOIN_SQL,
+        "q_union_distinct": _Q_UNION_DISTINCT_SQL,
+        "q_distinct": _Q_DISTINCT_SQL,
+        "q_sort_limit": _Q_SORT_LIMIT_SQL,
+        "q_groupby_agg": _Q_GROUPBY_AGG_SQL,
+        "q_join_agg": _Q_JOIN_AGG_SQL,
+        "q_first_order": _Q_FIRST_ORDER_SQL,
+        "q_event_windows": _Q_EVENT_WINDOWS_SQL,
+        "dd_exact": _DD_EXACT_SQL,
+        "dd_jaccard": _DD_JACCARD_SQL,
+        "txt_token_stats": _TXT_TOKEN_STATS_SQL,
+        "txt_quality": _TXT_QUALITY_SQL,
+        "txt_lang_id": _TXT_LANG_ID_SQL,
+        "txt_fingerprint": _TXT_FINGERPRINT_SQL,
+        "sim_norms": _SIM_NORMS_SQL,
+        "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
+        # dd_minhash_lsh, dd_simhash, sim_ann_bucketed, mm_features:
+        # non-SQL-expressible (seeded xxhash64 banding / pandas UDFs /
+        # mapInPandas) → rows-only check by design.
+    }

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side contract is real and tested — schema, partition-friendly
+batch shapes, Arrow-batched ``mapInPandas`` signatures.  The actual codec
+work (JPEG decode, resampling, frame sampling) is STUBBED: the sandbox has
+no image/audio libraries, so ``decode_images`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (byte-histogram "features") exercises the full
+plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("meta_width", LongType(), True),
+        StructField("meta_height", LongType(), True),
+        StructField("meta_duration_ms", LongType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def synth_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table from a text table: payload =
+    utf-8 bytes of the text (stands in for encoded image bytes)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/fake").alias("mime"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        (F.length(F.col(text_col)) % 640).cast("long").alias("meta_width"),
+        (F.length(F.col(text_col)) % 480).cast("long").alias("meta_height"),
+        F.lit(None).cast("long").alias("meta_duration_ms"),
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas``.
+
+    Real deployment would decode payload bytes with PIL/ffmpeg here; the
+    sandbox stub computes a deterministic 16-bin byte histogram (normalized)
+    so batch shape, schema, and partition behavior are fully exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg — not available in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            feats, nbytes = [], []
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                hist = np.bincount(buf >> 4, minlength=16).astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).round(6).tolist())
+                nbytes.append(len(buf))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FEATURES_SCHEMA)

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- Brute-force cosine top-k: the exactness baseline. Broadcast the (small)
+  query set against the corpus — one narrow pass over the corpus, no
+  shuffle except the final per-query top-k aggregate.
+- LSH-bucketed ANN (random hyperplanes, seeded/deterministic): the scale
+  path — hash every vector to a b-bit sign bucket, compare only within
+  bucket (± optionally neighboring buckets). Recall tested vs brute force.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM, codegen) — no
+Python in the scoring loop.  Scores exported as *_e4 fixed-point for
+cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self-matches by id).
+
+    ``queries`` is expected small → broadcast; corpus side never shuffles
+    until the rank-k aggregate on (query_id) keys.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_e4"),
+        )
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_bits: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic random-hyperplane LSH bucket per vector.
+
+    Hyperplane matrix is derived from xxhash64(seed, bit, component) —
+    reproducible across runs/cluster sizes with zero driver state.  Bucket
+    = sign-bit string of the n_bits projections.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for b in range(n_bits):
+        # pseudo-random ±1 weights per component, folded into the dot product
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(b), i), 2) == 0, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+    )
+
+
+def ann_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: compare only within the query's hyperplane bucket.
+
+    At 10⁹ vectors / 2⁸ buckets this turns the n·q cross product into
+    n·q/256 — the standard recall-for-throughput trade; recall vs brute
+    force is measured in tests (same-bucket probability rises with vector
+    similarity by the hyperplane LSH property).
+    """
+    cb = hyperplane_buckets(corpus, n_bits, id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_buckets(queries, n_bits, id_col=id_col, vec_col=vec_col)
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "bucket",
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_e4"),
+        )
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
+    hyperplane LSH so only same-bucket pairs are scored."""
+    b = hyperplane_buckets(df, n_bits, id_col=id_col, vec_col=vec_col)
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        "bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        "bucket",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_e4"),
+        )
+    )

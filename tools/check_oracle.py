@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry and its ``oracle_sql()`` twin on the
+same sf dir, compare row count, column names, and an order-insensitive
+value hash (rows stringified, column-name-sorted, then sorted + md5)."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from omop2owl_vocab_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols, rows) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_canon(r[i]) for i in order) for r in rows
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+    spark = get_spark(
+        "oracle-check", master="local[8]",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(rows)} rows, cols={cols}")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        ok_n = len(rows) == len(orows)
+        ok_c = sorted(cols) == sorted(ocols)
+        ok_h = ok_c and value_hash(cols, rows) == value_hash(ocols, orows)
+        status = "OK   " if (ok_n and ok_c and ok_h) else "FAIL "
+        if status.startswith("FAIL"):
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(rows)}/{len(orows)} "
+            f"cols={'=' if ok_c else f'{sorted(cols)} vs {sorted(ocols)}'} "
+            f"hash={'=' if ok_h else 'MISMATCH'}"
+        )
+        if not ok_h and ok_c and ok_n and len(rows) < 100000:
+            eng = {tuple(_canon(v) for v in r) for r in rows}
+
+            def remap(r):
+                m = dict(zip(ocols, r))
+                return tuple(_canon(m[c]) for c in cols)
+
+            orc = {remap(r) for r in orows}
+            diff1 = list(eng - orc)[:3]
+            diff2 = list(orc - eng)[:3]
+            print(f"      engine-only: {diff1}")
+            print(f"      oracle-only: {diff2}")
+    print("\nFAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    raise SystemExit(main(only=only))
