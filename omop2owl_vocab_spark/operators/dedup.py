@@ -78,7 +78,6 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs agreeing on ≥1 band.
     Output (id_a, id_b) with id_a < id_b, distinct."""
-    sig_len = bands  # rows per band derived from the actual array below
     banded = signatures.select(
         "id",
         F.explode(

@@ -76,14 +76,17 @@ class CheckpointManager:
         m: dict = {
             "stage": stage,
             "config_hash": self.hash,
-            "rows": out.count(),
             "wall_sec": round(wall, 3),
         }
+        # one job for rows + lineage (the groupBy sums to the row count)
         if lineage_col and lineage_col in out.columns:
             counts = (
                 out.groupBy(lineage_col).agg(F.count("*").alias("n")).collect()
             )
             m["partition_lineage"] = {r[0] or "": r[1] for r in counts}
+            m["rows"] = sum(r[1] for r in counts)
+        else:
+            m["rows"] = out.count()
         if extra:
             m.update(extra)
         with open(self._metrics_path(stage), "w") as f:

@@ -92,13 +92,19 @@ def _load_inputs(
     return concepts, edges
 
 
-def _salted_repartition(triples: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def _salted_repartition(
+    triples: DataFrame, cfg: PipelineConfig, counts: dict | None = None
+) -> DataFrame:
     """Skew-aware final layout: vocabs above threshold spread over
-    ``salt_buckets`` hash buckets; small vocabs land in one task each."""
-    counts = {
-        r[0]: r[1]
-        for r in triples.groupBy("vocabulary_id").count().collect()
-    }
+    ``salt_buckets`` hash buckets; small vocabs land in one task each.
+
+    ``counts`` (vocab → rows) is reused from the upstream stage's lineage
+    metrics when available — no extra count job."""
+    if counts is None:
+        counts = {
+            r[0]: r[1]
+            for r in triples.groupBy("vocabulary_id").count().collect()
+        }
     big = [v for v, n in counts.items() if n >= cfg.salt_threshold_rows]
     if big:
         salt = F.when(
@@ -163,7 +169,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         triples = triples_raw
 
     out_dir = os.path.join(cfg.output_dir, "triples")
-    final = _salted_repartition(triples, cfg)
+    last_stage = "s5_triples" if cfg.canonicalize else "s3_triples_raw"
+    try:
+        counts = ckpt.metrics(last_stage).get("partition_lineage")
+    except OSError:
+        counts = None
+    final = _salted_repartition(triples, cfg, counts=counts)
     final.write.mode("overwrite").partitionBy("vocabulary_id").parquet(out_dir)
 
     manifest = {
