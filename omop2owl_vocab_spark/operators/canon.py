@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from omop2owl_vocab_spark.operators.emit import dedupe_triples
+
 
 def canonicalize_triples(
     triples: DataFrame, canon: DataFrame, curie_prefix: str = "OMOP:"
@@ -39,4 +41,4 @@ def canonicalize_triples(
         .withColumn("obj", F.coalesce(F.col("_oc"), F.col("obj")))
         .drop("_om", "_oc")
     )
-    return out.dropDuplicates(["subj", "pred", "obj"])
+    return dedupe_triples(out)

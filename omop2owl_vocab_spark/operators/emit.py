@@ -171,19 +171,34 @@ def exclude_singleton_concepts(
     )
 
 
+def dedupe_triples(df: DataFrame) -> DataFrame:
+    """OWL set semantics over (subj, pred, obj), DETERMINISTICALLY.
+
+    ``dropDuplicates`` keeps an arbitrary row when the same axiom is emitted
+    with different provenance (e.g. a cross-vocab merge), which would break
+    byte-stable resume — so the survivors' provenance columns are min/max
+    aggregated instead. One hash-aggregate shuffle; AQE coalesces after."""
+    return df.groupBy("subj", "pred", "obj").agg(
+        F.max("obj_is_literal").alias("obj_is_literal"),
+        F.min("vocabulary_id").alias("vocabulary_id"),
+        F.min("src_sha256").alias("src_sha256"),
+    )
+
+
 def emit_triples(
     concepts: DataFrame,
     rel_df: DataFrame,
     relationships: list[str] | None = None,
     exclude_singletons: bool = False,
     singleton_bug_compat: bool = False,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Full emission: R1-R3 ∪ R4-R6, deduplicated.
 
     Dedup matches OWL set semantics (the reference pipe-joins duplicate
-    objects and robot collapses identical axioms).  ``dropDuplicates`` over
-    (subj, pred, obj) — a single hash-aggregate shuffle; at scale AQE
-    coalesces the post-shuffle partitions.
+    objects and robot collapses identical axioms).  Pass ``dedupe=False``
+    when a canonicalization stage follows — it dedupes after the rewrite
+    anyway, and skipping here saves one full-width shuffle of the triple set.
     """
     if exclude_singletons:
         concepts = exclude_singleton_concepts(
@@ -193,6 +208,5 @@ def emit_triples(
     edge_triples = emit_edge_triples(
         resolve_edges(rel_df, concepts, relationships)
     )
-    return concept_triples.unionByName(edge_triples).dropDuplicates(
-        ["subj", "pred", "obj"]
-    )
+    out = concept_triples.unionByName(edge_triples)
+    return dedupe_triples(out) if dedupe else out

@@ -127,6 +127,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     concepts, edges = _load_inputs(spark, cfg, ckpt)
 
+    # emission: skip the dedup shuffle here when canonicalization follows
+    # (it dedupes after the rewrite; one full-width shuffle instead of two)
     triples_raw, cached = ckpt.get_or_compute(
         spark,
         "s3_triples_raw",
@@ -135,6 +137,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             edges,
             relationships=cfg.relationships,
             exclude_singletons=cfg.exclude_singletons,
+            dedupe=not cfg.canonicalize,
         ),
         lineage_col="vocabulary_id",
         resume=cfg.resume,
@@ -157,32 +160,45 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             spark, "s4_canon_map", _canon_map, resume=cfg.resume
         )
         report["stages"]["s4_canon_map"] = {"cached": cached}
-        triples, cached = ckpt.get_or_compute(
-            spark,
-            "s5_triples",
-            lambda: canonicalize_triples(triples_raw, canon),
-            lineage_col="vocabulary_id",
-            resume=cfg.resume,
-        )
-        report["stages"]["s5_triples"] = {"cached": cached}
+        # s5+s6 fused: canonical rewrite → dedup → salted write, one pass;
+        # the partitioned output directory IS the s5 artifact (resume-wise
+        # the _SUCCESS marker plays the checkpoint role)
+        triples = canonicalize_triples(triples_raw, canon)
     else:
         triples = triples_raw
 
     out_dir = os.path.join(cfg.output_dir, "triples")
-    last_stage = "s5_triples" if cfg.canonicalize else "s3_triples_raw"
+    manifest_path = os.path.join(cfg.output_dir, "_manifest.json")
+
+    # C1-equivalent whole-run memoization: the partitioned output + manifest
+    # hash is the final artifact's checkpoint (reference skips the whole run
+    # when the .db exists, omop2owl_vocab.py:453-455)
+    if cfg.resume and os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        try:
+            with open(manifest_path) as f:
+                if json.load(f).get("config_hash") == ckpt.hash:
+                    report["stages"]["s6_write"] = {"cached": True}
+                    report["output"] = out_dir
+                    return report
+        except OSError:
+            pass
+
+    # salt from the raw-stage lineage: canonicalization only shrinks counts
+    # slightly, and salting needs magnitude, not exactness — no count job
     try:
-        counts = ckpt.metrics(last_stage).get("partition_lineage")
+        counts = ckpt.metrics("s3_triples_raw").get("partition_lineage")
     except OSError:
         counts = None
     final = _salted_repartition(triples, cfg, counts=counts)
     final.write.mode("overwrite").partitionBy("vocabulary_id").parquet(out_dir)
+    report["stages"]["s6_write"] = {"cached": False}
 
     manifest = {
         "ontology_iri": ONTOLOGY_IRI_FMT.format(cfg.ontology_id),
         "config_hash": ckpt.hash,
         "config": {k: str(v) for k, v in cfg.key().items()},
     }
-    with open(os.path.join(cfg.output_dir, "_manifest.json"), "w") as f:
+    with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
 
     report["output"] = out_dir
