@@ -55,10 +55,18 @@ class PipelineConfig:
     canonicalize: bool = True
     exclude_singletons: bool = False
     resume: bool = True
+    # compact_output=True adds a salted repartition before the write so each
+    # vocab lands in few, bounded files (skew-salted).  False (default)
+    # writes straight out of the dedup aggregate's partitioning — one fewer
+    # full-width shuffle; skew is already neutralized because the dedup
+    # hash keys (subj, pred, obj) distribute uniformly, and partitionBy
+    # splits files per vocab within each task.
+    compact_output: bool = False
     # salting: vocabs whose triple count exceeds this get hash-salted into
-    # this many sub-buckets at the final repartition
+    # this many sub-buckets at the compact-output repartition
     salt_threshold_rows: int = 5_000_000
     salt_buckets: int = 16
+    max_records_per_file: int = 5_000_000
 
     def key(self) -> dict:
         d = asdict(self)
@@ -183,14 +191,22 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         except OSError:
             pass
 
-    # salt from the raw-stage lineage: canonicalization only shrinks counts
-    # slightly, and salting needs magnitude, not exactness — no count job
-    try:
-        counts = ckpt.metrics("s3_triples_raw").get("partition_lineage")
-    except OSError:
-        counts = None
-    final = _salted_repartition(triples, cfg, counts=counts)
-    final.write.mode("overwrite").partitionBy("vocabulary_id").parquet(out_dir)
+    if cfg.compact_output:
+        # salt from the raw-stage lineage: canonicalization only shrinks
+        # counts slightly, and salting needs magnitude, not exactness
+        try:
+            counts = ckpt.metrics("s3_triples_raw").get("partition_lineage")
+        except OSError:
+            counts = None
+        final = _salted_repartition(triples, cfg, counts=counts)
+    else:
+        final = triples
+    (
+        final.write.mode("overwrite")
+        .option("maxRecordsPerFile", cfg.max_records_per_file)
+        .partitionBy("vocabulary_id")
+        .parquet(out_dir)
+    )
     report["stages"]["s6_write"] = {"cached": False}
 
     manifest = {
