@@ -50,6 +50,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen/Arrow warmup so the first timed query isn't charged for it
+    _force(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+            "sha2(cast(n_nationkey as string), 256) as h"
+        )
+    )
+
     per_query: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.monotonic()

@@ -160,23 +160,32 @@ def simhash_signatures(
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
+        from collections import Counter
 
         import numpy as np
 
+        # per-batch token→±1-bit-vector cache: corpora repeat tokens heavily,
+        # so hashing each distinct token once dominates the constant factor
+        cache: dict[str, np.ndarray] = {}
+
+        def tok_bits(tok: str) -> np.ndarray:
+            v = cache.get(tok)
+            if v is None:
+                hv = hashlib.md5(tok.encode()).digest()[:8]
+                bits = np.unpackbits(
+                    np.frombuffer(hv, dtype=np.uint8), bitorder="little"
+                )
+                v = bits.astype(np.int32) * 2 - 1  # ±1 votes, bit i = (h>>i)&1
+                cache[tok] = v
+            return v
+
+        powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             votes = np.zeros(64, dtype=np.int64)
-            for tok in (t or "").lower().split():
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes += np.where(bits == np.uint64(1), 1, -1)
-            sig = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= 1 << b
-            # fold into signed int64 deterministically
+            for tok, cnt in Counter((t or "").lower().split()).items():
+                votes += cnt * tok_bits(tok)
+            sig = int((powers[votes > 0]).sum(dtype=np.uint64))
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 

@@ -112,8 +112,16 @@ def _edge(c1: F.Column, c2: F.Column, rel: str) -> list[F.Column]:
     ]
 
 
-def derive_edges(code_files: DataFrame) -> DataFrame:
-    """Containment ∪ same-sha 'Maps to' ∪ import edges."""
+def derive_edges(
+    code_files: DataFrame, concepts: DataFrame | None = None
+) -> DataFrame:
+    """Containment ∪ same-sha 'Maps to' ∪ import edges.
+
+    Pass the already-derived ``concepts`` frame to reuse its ``src_sha256``
+    for the Maps-to groups — skips one full re-read + re-hash of the
+    ``content`` column (the widest column in the source; at 100 TB this is
+    the difference between scanning content twice and once in this stage).
+    """
     repo = F.col("repo")
 
     # file → immediate parent directory
@@ -138,9 +146,15 @@ def derive_edges(code_files: DataFrame) -> DataFrame:
     )
 
     # same-content equivalence: star to the group min (CC-friendly, no k²)
-    by_sha = code_files.select(
-        _file_concept_id().alias("cid"), F.sha2(F.col("content"), 256).alias("sha")
-    )
+    if concepts is not None:
+        by_sha = concepts.filter(F.col("src_sha256") != "").select(
+            F.col("concept_id").alias("cid"), F.col("src_sha256").alias("sha")
+        )
+    else:
+        by_sha = code_files.select(
+            _file_concept_id().alias("cid"),
+            F.sha2(F.col("content"), 256).alias("sha"),
+        )
     hubs = by_sha.groupBy("sha").agg(
         F.min("cid").alias("hub"), F.count("*").alias("n")
     ).filter(F.col("n") > 1)

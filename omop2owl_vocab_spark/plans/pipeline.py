@@ -84,7 +84,7 @@ def _load_inputs(
             lineage_col="vocabulary_id", resume=cfg.resume,
         )
         edges, _ = ckpt.get_or_compute(
-            spark, "s1_edges", lambda: derive_edges(code),
+            spark, "s1_edges", lambda: derive_edges(code, concepts=concepts),
             lineage_col="relationship_id", resume=cfg.resume,
         )
     elif cfg.mode == "omop":
