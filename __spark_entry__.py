@@ -669,6 +669,84 @@ FROM r WHERE rank <= 10
 """
 
 
+def _kg_connected_components(spark, sf_dir):
+    """G1 over the nation-region bipartite graph — min-label CC with a
+    recursive-CTE transitive-closure oracle."""
+    from omop2owl_vocab_spark.operators.link import connected_components
+
+    nation = _t(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    labels, _ = connected_components(edges)
+    return labels.select("node", F.col("label").alias("component"))
+
+
+_KG_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS a,
+         'R' || CAST(n_regionkey AS VARCHAR) AS b
+  FROM nation
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, other) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.other = s.a
+)
+SELECT node, MIN(other) AS component FROM reach GROUP BY node
+"""
+
+
+def _sim_near_dup_exact(spark, sf_dir):
+    """Brute-force cosine near-dup pairs (query side bounded to id < 200 so
+    the all-pairs form stays a baseline, not a scale path — that's
+    sim_ann_bucketed / embedding_near_duplicates)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm_a = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_b = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (norm_a * norm_b)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_e4"),
+        )
+    )
+
+
+_SIM_NEAR_DUP_EXACT_SQL = """
+WITH a AS (SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
+           FROM embeddings WHERE vec_id < 200),
+b AS (SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings),
+s AS (
+  SELECT id_a, id_b,
+         list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+           AS cos
+  FROM a JOIN b ON id_a < id_b
+)
+SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM s WHERE cos >= 0.3
+"""
+
+
 # --------------------------------------------- rows-only (no SQL oracle)
 
 
@@ -721,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_resolve": _kg_edges_resolve,
         "kg_sanitize": _kg_sanitize,
         "kg_adjacency": _kg_adjacency,
+        "kg_connected_components": _kg_connected_components,
         # relational operator inventory (F/J/A/O/U/X families)
         "q_filter": _q_filter,
         "q_isin": _q_isin,
@@ -744,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": _txt_fingerprint,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
+        "sim_near_dup_exact": _sim_near_dup_exact,
         "sim_ann_bucketed": _sim_ann_bucketed,
         "mm_features": _mm_features,
     }
@@ -756,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,
         "kg_sanitize": _KG_SANITIZE_SQL,
         "kg_adjacency": _KG_ADJACENCY_SQL,
+        "kg_connected_components": _KG_CONNECTED_COMPONENTS_SQL,
         "q_filter": _Q_FILTER_SQL,
         "q_isin": _Q_ISIN_SQL,
         "q_semi_join": _Q_SEMI_JOIN_SQL,
@@ -775,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": _TXT_FINGERPRINT_SQL,
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
+        "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,
         # dd_minhash_lsh, dd_simhash, sim_ann_bucketed, mm_features:
         # non-SQL-expressible (seeded xxhash64 banding / pandas UDFs /
         # mapInPandas) → rows-only check by design.
