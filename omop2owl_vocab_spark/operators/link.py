@@ -48,14 +48,25 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    stats: dict = {"rounds": 0, "changed_per_round": []}
+    stats: dict = {"rounds": 0, "changed_per_round": [], "converged": False}
     for _ in range(max_iter):
         # neighbor labels: edge (a,b) sends b's label to a
         msgs = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), "label"
         )
+        # pointer doubling: also adopt the label of one's current label
+        # (labels are monotone non-increasing, so label-of-label ≤ label);
+        # turns O(diameter) convergence into O(log diameter) on chains
+        lol = (
+            labels.alias("x")
+            .join(
+                labels.alias("y"), F.col("x.label") == F.col("y.node")
+            )
+            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+        )
         new_labels = (
             labels.unionByName(msgs)
+            .unionByName(lol)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
@@ -70,7 +81,15 @@ def connected_components(
         stats["rounds"] += 1
         stats["changed_per_round"].append(changed)
         if changed == 0:
+            stats["converged"] = True
             break
+    if not stats["converged"]:
+        # returning unconverged labels would silently split components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(changed_per_round={stats['changed_per_round'][-3:]}); raise "
+            "max_iter — pointer doubling needs ~log2(max component diameter)"
+        )
     return labels, stats
 
 

@@ -55,3 +55,22 @@ def test_canonical_rewrite(spark):
         ("OMOP:30", "rdfs:subClassOf", "OMOP:10"),
         ("OMOP:30", "rdfs:label", "OMOP:20"),
     }
+
+
+def test_cc_long_chain_pointer_doubling(spark):
+    # path graph of 60 nodes (zero-padded so lexicographic min == numeric
+    # min): diameter 59 — naive min-label needs ~59 rounds, pointer
+    # doubling must converge in O(log n)
+    pairs = [(f"{i:03d}", f"{i+1:03d}") for i in range(1, 60)]
+    labels, stats = connected_components(_edges(spark, pairs), max_iter=12)
+    got = {r["label"] for r in labels.collect()}
+    assert got == {"001"}
+    assert stats["converged"] and stats["rounds"] <= 12
+
+
+def test_cc_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    pairs = [(f"{i:03d}", f"{i+1:03d}") for i in range(1, 60)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, pairs), max_iter=2)
