@@ -43,10 +43,18 @@ def get_spark(
     cluster leave it unset and let spark-submit supply it.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
-    builder = builder.master(master)
+    if master is None and "spark.master" not in os.environ.get(
+        "SPARK_SUBMIT_OPTS", ""
+    ) and not os.environ.get("SPARK_MASTER_SET"):
+        # sandbox default; under spark-submit the master comes from the
+        # launcher conf, so only force local[] when clearly not submitted
+        if os.environ.get("SPARK_ENV_LOADED") or os.environ.get("SPARK_CONF_DIR"):
+            master = None
+        else:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
+    if master is not None:
+        builder = builder.master(master)
     conf = dict(_DEFAULTS)
     if extra_conf:
         conf.update(extra_conf)
