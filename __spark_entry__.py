@@ -457,6 +457,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_sessionize(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user — the log-
+    sessionization shape every training-data pipeline needs.  Spark's
+    native session_window vs a lag/cumsum oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("sum_value_e2"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value_e2",
+        )
+    )
+
+
+_Q_SESSIONIZE_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ------------------------------------------------------- dedup / text ops
 
 
@@ -534,6 +581,8 @@ SELECT doc_id,
                 x -> x <> '')) AS BIGINT) AS n_tokens,
        CAST(ceil(len(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT)
          AS n_subwords,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         AS n_pieces,
        CAST(len(text) AS BIGINT) AS n_chars
 FROM documents
 """
@@ -812,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_agg": _q_join_agg,
         "q_first_order": _q_first_order,
         "q_event_windows": _q_event_windows,
+        "q_sessionize": _q_sessionize,
         # training-data pipeline ops
         "dd_exact": _dd_exact,
         "dd_jaccard": _dd_jaccard,
@@ -848,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "q_join_agg": _Q_JOIN_AGG_SQL,
         "q_first_order": _Q_FIRST_ORDER_SQL,
         "q_event_windows": _Q_EVENT_WINDOWS_SQL,
+        "q_sessionize": _Q_SESSIONIZE_SQL,
         "dd_exact": _DD_EXACT_SQL,
         "dd_jaccard": _DD_JACCARD_SQL,
         "txt_token_stats": _TXT_TOKEN_STATS_SQL,

@@ -39,10 +39,13 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     heuristic over non-space chars), char count."""
     text = F.col(text_col)
     nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    # GPT-style pre-tokenizer shape: word runs and single punctuation marks
+    pieces = F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0)
     return df.select(
         F.col(id_col),
         F.size(_tokens(text)).cast("long").alias("n_tokens"),
         F.ceil(nonspace / 4).cast("long").alias("n_subwords"),
+        F.size(pieces).cast("long").alias("n_pieces"),
         F.length(text).cast("long").alias("n_chars"),
     )
 

@@ -1,0 +1,81 @@
+"""Stateful streaming sessionization vs its batch twin.
+
+Events are split across multiple parquet files in time order so the file
+source delivers multiple micro-batches; the watermark advances between
+batches and event-time timeouts flush open sessions.
+"""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from omop2owl_vocab_spark.streaming.sessionize import (
+    EVENTS_SCHEMA,
+    sessionize_batch,
+    sessionize_stream,
+)
+
+BASE = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+
+def _events():
+    """2 users; user 1 has two sessions (70-min gap), user 2 one session."""
+    out = []
+    eid = 0
+    for minutes, user, value in [
+        (0, 1, 1.0), (5, 1, 2.0), (10, 1, 3.0),        # u1 session A
+        (0, 2, 5.0), (20, 2, 5.0),                     # u2 session
+        (80, 1, 4.0), (85, 1, 4.0),                    # u1 session B
+        (300, 9, 0.5),                                 # late sentinel: pushes
+                                                        # the watermark far out
+    ]:
+        eid += 1
+        out.append(
+            Row(
+                event_id=eid,
+                ts=BASE + dt.timedelta(minutes=minutes),
+                user_id=user,
+                event_type="e",
+                value=value,
+                props="",
+            )
+        )
+    return out
+
+
+def test_stream_matches_batch_sessions(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = _events()
+    # time-ordered file per chunk → multiple micro-batches, advancing watermark
+    chunks = [rows[:5], rows[5:7], rows[7:]]
+    for chunk in chunks:
+        spark.createDataFrame(chunk, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+
+    q = sessionize_stream(spark, src, out, ckpt, files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 3))
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = sessionize_batch(
+        spark.createDataFrame(rows, EVENTS_SCHEMA).filter(F.col("user_id") != 9)
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 3))
+        for r in batch.collect()
+    }
+    # every batch session whose close precedes the final watermark must be
+    # emitted by the stream; the sentinel user's open session may be absent
+    assert want <= got or want == {g for g in got if g[0] != 9}, (got, want)
+    # u1 has exactly two sessions, u2 one
+    by_user = {}
+    for u, *_ in got:
+        by_user[u] = by_user.get(u, 0) + 1
+    assert by_user.get(1) == 2 and by_user.get(2) == 1
