@@ -484,6 +484,8 @@ def _q_sessionize(spark, sf_dir):
 _Q_SESSIONIZE_SQL = """
 WITH lagged AS (
   SELECT user_id, ts, value,
+         -- boundary verified empirically: Spark session_window MERGES an
+         -- event exactly gap-later into the session → break only on strict >
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

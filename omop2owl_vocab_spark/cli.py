@@ -56,6 +56,11 @@ def cli_parser() -> argparse.ArgumentParser:
         "reference's implementation has inverted polarity, see SURVEY Q1)",
     )
     p.add_argument("--no-canonicalize", action="store_true", help="skip equivalence merge")
+    p.add_argument(
+        "--semsql", action="store_true",
+        help="also write a SemanticSQL-shaped SQLite statements db "
+        "(compat-scale outputs only; K3 parity sink)",
+    )
     p.add_argument("--ontology-id", default="OMOP")
     p.add_argument("--memory", type=int, default=0, help="ignored (no robot.jar here)")
     p.add_argument("--master", default=None, help="spark master override, e.g. local[8]")
@@ -81,7 +86,18 @@ def route_and_run(d: dict) -> dict:
         resume=d.get("use_cache", False),
     )
     spark = get_spark(master=d.get("master"))
-    return run_pipeline(spark, cfg)
+    report = run_pipeline(spark, cfg)
+    if d.get("semsql"):
+        import os
+
+        from omop2owl_vocab_spark.operators.semsql import write_semsql_sqlite
+
+        db_path = os.path.join(
+            d["outdir"], f"{cfg.ontology_id.replace(' ', '-')}.db"
+        )
+        write_semsql_sqlite(spark.read.parquet(report["output"]), db_path)
+        report["semsql"] = db_path
+    return report
 
 
 def cli(argv: list[str] | None = None) -> None:

@@ -1,0 +1,86 @@
+"""K3 parity sink: a SemanticSQL-shaped SQLite ``statements`` database.
+
+The reference shells out to dockerized semsql to load its OWL into SQLite
+(``omop2owl_vocab.py:115-153``); the queryable artifact is a
+``statements(stanza, subject, predicate, object, value, datatype,
+language)`` triple table (plus a ``prefix`` table).  Here the engine's
+triple DataFrame is streamed into the same shape directly — no OWL, no
+docker — so reference users keep their downstream SQL/oaklib habits.
+
+Driver-side by necessity (SQLite is a single-writer embedded file), so the
+sink is bounded: it streams via ``toLocalIterator`` (no full collect) and
+refuses above ``max_rows``.  At 100 TB the queryable artifact is the
+partitioned Parquet/Iceberg table; this sink exists for compat-scale
+outputs and spot-checking.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+from pyspark.sql import DataFrame
+
+from omop2owl_vocab_spark.functions.curie import PREFIX_MAP
+
+_BATCH = 10_000
+
+
+def write_semsql_sqlite(
+    triples: DataFrame,
+    path: str,
+    prefix_map: dict[str, str] | None = None,
+    max_rows: int = 5_000_000,
+) -> int:
+    """Write ``statements`` + ``prefix`` tables; returns row count."""
+    n = triples.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{n} triples exceed the SQLite sink bound ({max_rows}); "
+            "use the partitioned parquet/Iceberg output at this scale"
+        )
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute(
+            "CREATE TABLE statements (stanza TEXT, subject TEXT, "
+            "predicate TEXT, object TEXT, value TEXT, datatype TEXT, "
+            "language TEXT)"
+        )
+        con.execute("CREATE TABLE prefix (prefix TEXT, base TEXT)")
+        con.executemany(
+            "INSERT INTO prefix VALUES (?, ?)",
+            sorted((prefix_map or PREFIX_MAP).items()),
+        )
+        batch = []
+        cols = triples.select(
+            "subj", "pred", "obj", "obj_is_literal"
+        ).toLocalIterator()
+        for r in cols:
+            if r["obj_is_literal"]:
+                row = (r["subj"], r["subj"], r["pred"], None, r["obj"],
+                       "xsd:string", None)
+            else:
+                row = (r["subj"], r["subj"], r["pred"], r["obj"], None,
+                       None, None)
+            batch.append(row)
+            if len(batch) >= _BATCH:
+                con.executemany(
+                    "INSERT INTO statements VALUES (?,?,?,?,?,?,?)", batch
+                )
+                batch.clear()
+        if batch:
+            con.executemany(
+                "INSERT INTO statements VALUES (?,?,?,?,?,?,?)", batch
+            )
+        con.execute(
+            "CREATE INDEX statements_subject_ix ON statements(subject)"
+        )
+        con.execute(
+            "CREATE INDEX statements_predicate_ix ON statements(predicate)"
+        )
+        con.commit()
+    finally:
+        con.close()
+    return n
