@@ -63,8 +63,11 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         per_query[name] = round(time.monotonic() - t0, 3)
 
-    # end-to-end pipeline: code_files → triples (the north-rule metric)
-    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    # end-to-end pipeline: code_files → triples (the north-rule metric);
+    # tmpfs when available — a single local disk is the sandbox artifact,
+    # not the modeled storage layer (see BENCH.md)
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_pipeline_", dir=work_root)
     try:
         src = os.path.join(work, "code_files")
         synth_code_files(spark, PIPELINE_ROWS).write.mode("overwrite").parquet(src)

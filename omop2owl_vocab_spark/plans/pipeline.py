@@ -67,6 +67,11 @@ class PipelineConfig:
     salt_threshold_rows: int = 5_000_000
     salt_buckets: int = 16
     max_records_per_file: int = 5_000_000
+    # canonical map rows below this broadcast explicitly (the ckpt metrics
+    # give the exact count for free); above it, AQE picks the strategy —
+    # at 10^12-file scale a merge-heavy corpus can have a canon map too
+    # big for any driver
+    broadcast_canon_max_rows: int = 5_000_000
 
     def key(self) -> dict:
         d = asdict(self)
@@ -168,6 +173,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             spark, "s4_canon_map", _canon_map, resume=cfg.resume
         )
         report["stages"]["s4_canon_map"] = {"cached": cached}
+        try:
+            canon_rows = ckpt.metrics("s4_canon_map").get("rows", 0)
+        except OSError:
+            canon_rows = 0
+        if canon_rows < cfg.broadcast_canon_max_rows:
+            canon = F.broadcast(canon)
         # s5+s6 fused: canonical rewrite → dedup → salted write, one pass;
         # the partitioned output directory IS the s5 artifact (resume-wise
         # the _SUCCESS marker plays the checkpoint role)
