@@ -13,10 +13,16 @@ multimodal features, hyperplane ANN) have no oracle entry → rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# the engine package lives beside this file; make imports robust to the
+# driver's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -49,25 +49,31 @@ def connected_components(
     )
 
     stats: dict = {"rounds": 0, "changed_per_round": [], "converged": False}
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # neighbor labels: edge (a,b) sends b's label to a
         msgs = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), "label"
         )
-        # pointer doubling: also adopt the label of one's current label
-        # (labels are monotone non-increasing, so label-of-label ≤ label);
-        # turns O(diameter) convergence into O(log diameter) on chains
-        lol = (
-            labels.alias("x")
-            .join(
-                labels.alias("y"), F.col("x.label") == F.col("y.node")
+        parts = [labels, msgs]
+        if rnd > 0:
+            # pointer doubling: adopt the label of one's current label
+            # (labels are monotone non-increasing, so label-of-label ≤
+            # label); turns O(diameter) convergence into O(log diameter).
+            # A no-op in round 1 (labels are identity) — skipped there.
+            lol = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.col("y.label").alias("label"),
+                )
             )
-            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
-        )
+            parts.append(lol)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
         new_labels = (
-            labels.unionByName(msgs)
-            .unionByName(lol)
-            .groupBy("node")
+            acc.groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
