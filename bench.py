@@ -67,6 +67,20 @@ def main() -> None:
     # tmpfs when available — a single local disk is the sandbox artifact,
     # not the modeled storage layer (see BENCH.md)
     work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    warm = tempfile.mkdtemp(prefix="bench_warm_", dir=work_root)
+    try:
+        # JIT the pipeline plans on a tiny input so the timed run measures
+        # the pipeline, not first-use codegen
+        wsrc = os.path.join(warm, "code_files")
+        synth_code_files(spark, 2000).write.parquet(wsrc)
+        run_pipeline(
+            spark,
+            PipelineConfig(
+                source=wsrc, output_dir=os.path.join(warm, "out"), resume=False
+            ),
+        )
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
     work = tempfile.mkdtemp(prefix="bench_pipeline_", dir=work_root)
     try:
         src = os.path.join(work, "code_files")

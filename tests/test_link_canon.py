@@ -74,3 +74,19 @@ def test_cc_nonconvergence_raises(spark):
     pairs = [(f"{i:03d}", f"{i+1:03d}") for i in range(1, 60)]
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_edges(spark, pairs), max_iter=2)
+
+
+def test_triples_diff_and_distributed_pr(spark):
+    from omop2owl_vocab_spark.operators.diff import precision_recall, triples_diff
+
+    a = spark.createDataFrame(
+        [Row(subj="s1", pred="p", obj="o1"), Row(subj="s2", pred="p", obj="o2")]
+    )
+    b = spark.createDataFrame(
+        [Row(subj="s1", pred="p", obj="o1"), Row(subj="s3", pred="p", obj="o3")]
+    )
+    d = triples_diff(a, b)
+    assert {tuple(r) for r in d["added"].collect()} == {("s2", "p", "o2")}
+    assert {tuple(r) for r in d["removed"].collect()} == {("s3", "p", "o3")}
+    p, r = precision_recall(a, b)
+    assert (p, r) == (0.5, 0.5)
