@@ -93,23 +93,14 @@ def resolve_edges(
 
     rev_ids = list(REL_PRED_REVERSE_MAPPING)
     is_rev = F.col("relationship_id").isin(rev_ids)
-    pred = (
-        F.when(
-            F.col("relationship_id").isin(list(REL_PRED_MAPPING)),
-            F.lit("rdfs:subClassOf"),
+
+    def _mapped_pred(mapping: dict[str, str]) -> F.Column:
+        expr = F.concat(
+            F.lit("omoprel:"), sanitize_predicate_col("relationship_id")
         )
-        .when(is_rev, F.lit("rdfs:subClassOf"))
-        .otherwise(
-            F.concat(F.lit("omoprel:"), sanitize_predicate_col("relationship_id"))
-        )
-    )
-    resolved = rel_df.select(
-        F.when(is_rev, F.col("concept_id_2")).otherwise(F.col("concept_id_1")).alias("subject"),
-        pred.alias("predicate"),
-        F.when(is_rev, F.col("concept_id_1")).otherwise(F.col("concept_id_2")).alias("object"),
-        is_rev.alias("_rev"),
-        F.col("concept_id_1").alias("_c1"),
-    )
+        for rel, p in mapping.items():
+            expr = F.when(F.col("relationship_id") == rel, F.lit(p)).otherwise(expr)
+        return expr
 
     has_sha = "src_sha256" in concepts.columns
     subj_dim = concepts.select(
@@ -119,21 +110,36 @@ def resolve_edges(
     )
     ids = concepts.select(F.col("concept_id").alias("_id"))
 
-    # forward rows: subject == concept_id_1; one inner join does membership
-    # (R7 subject-side filter, omop2owl_vocab.py:347) + vocab/sha fetch.
+    # forward rows: join on the RAW concept_id_1 column — one inner join
+    # does the R7 membership filter (omop2owl_vocab.py:347) AND the
+    # vocab/sha fetch.  Joining on the raw column (not a when() expression)
+    # preserves any bucketing/partitioning of the inputs, enabling
+    # shuffle-free co-located joins when checkpoints are bucketed.
     fwd = (
-        resolved.filter(~F.col("_rev"))
-        .join(subj_dim, F.col("subject") == F.col("_subj_id"), "inner")
-        .drop("_subj_id", "_rev", "_c1")
+        rel_df.filter(~is_rev)
+        .join(subj_dim, F.col("concept_id_1") == F.col("_subj_id"), "inner")
+        .select(
+            F.col("concept_id_1").alias("subject"),
+            _mapped_pred(REL_PRED_MAPPING).alias("predicate"),
+            F.col("concept_id_2").alias("object"),
+            "vocabulary_id",
+            "src_sha256",
+        )
     )
     # reverse rows (tiny, statically-known relationship ids): pre-swap c1
-    # must be a concept (R7) AND post-swap subject must be a concept (the
-    # template loop only emits rows present in concept_df).
+    # must be a concept (R7) AND post-swap subject (c2) must be a concept
+    # (the template loop only emits rows present in concept_df).
     rev = (
-        resolved.filter(F.col("_rev"))
-        .join(ids, F.col("_c1") == F.col("_id"), "left_semi")
-        .join(subj_dim, F.col("subject") == F.col("_subj_id"), "inner")
-        .drop("_subj_id", "_rev", "_c1")
+        rel_df.filter(is_rev)
+        .join(ids, F.col("concept_id_1") == F.col("_id"), "left_semi")
+        .join(subj_dim, F.col("concept_id_2") == F.col("_subj_id"), "inner")
+        .select(
+            F.col("concept_id_2").alias("subject"),
+            _mapped_pred(REL_PRED_REVERSE_MAPPING).alias("predicate"),
+            F.col("concept_id_1").alias("object"),
+            "vocabulary_id",
+            "src_sha256",
+        )
     )
     return fwd.unionByName(rev)
 

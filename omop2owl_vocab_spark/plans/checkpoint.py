@@ -100,8 +100,95 @@ class CheckpointManager:
         compute,
         lineage_col: str | None = None,
         resume: bool = True,
+        bucket_col: str | None = None,
+        bucket_count: int = 0,
     ) -> tuple[DataFrame, bool]:
-        """(frame, was_cached). ``compute`` is a thunk returning a DataFrame."""
+        """(frame, was_cached). ``compute`` is a thunk returning a DataFrame.
+
+        With ``bucket_col``/``bucket_count`` the stage materializes as a
+        BUCKETED parquet table (hash-clustered + sorted on the join key), so
+        downstream equi-joins between equally-bucketed stages are
+        co-located — zero shuffle (the local analog of Iceberg
+        storage-partitioned joins at 10^12-row scale, where neither join
+        side can broadcast)."""
+        if bucket_col and bucket_count > 0:
+            if resume and self.has(stage):
+                return self.read_table(spark, stage), True
+            return (
+                self.write_table(
+                    stage, compute(), bucket_col, bucket_count,
+                    lineage_col=lineage_col,
+                ),
+                False,
+            )
         if resume and self.has(stage):
             return self.read(spark, stage), True
         return self.write(stage, compute(), lineage_col=lineage_col), False
+
+    # ---------------------------------------------- bucketed-table mode
+
+    def _table_name(self, stage: str) -> str:
+        return f"ckpt_{stage}_{self.hash}"
+
+    def write_table(
+        self,
+        stage: str,
+        df: DataFrame,
+        bucket_col: str,
+        bucket_count: int,
+        lineage_col: str | None = None,
+    ) -> DataFrame:
+        import time as _time
+
+        spark = df.sparkSession
+        name = self._table_name(stage)
+        d = self.stage_dir(stage)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        t0 = _time.monotonic()
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(bucket_count, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", d)
+            .saveAsTable(name)
+        )
+        wall = _time.monotonic() - t0
+        out = spark.table(name)
+        m: dict = {
+            "stage": stage,
+            "config_hash": self.hash,
+            "wall_sec": round(wall, 3),
+            "bucket_col": bucket_col,
+            "bucket_count": bucket_count,
+            "schema_ddl": ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in out.schema
+            ),
+        }
+        if lineage_col and lineage_col in out.columns:
+            counts = (
+                out.groupBy(lineage_col).agg(F.count("*").alias("n")).collect()
+            )
+            m["partition_lineage"] = {r[0] or "": r[1] for r in counts}
+            m["rows"] = sum(r[1] for r in counts)
+        else:
+            m["rows"] = out.count()
+        with open(self._metrics_path(stage), "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        return out
+
+    def read_table(self, spark: SparkSession, stage: str) -> DataFrame:
+        """Resume path: re-register the external bucketed table if this is
+        a fresh session (the catalog is in-memory; the data + metrics on
+        disk are the durable record)."""
+        name = self._table_name(stage)
+        if not spark.catalog.tableExists(name):
+            m = self.metrics(stage)
+            spark.sql(
+                f"CREATE TABLE {name} ({m['schema_ddl']}) USING PARQUET "
+                f"CLUSTERED BY (`{m['bucket_col']}`) "
+                f"SORTED BY (`{m['bucket_col']}`) "
+                f"INTO {m['bucket_count']} BUCKETS "
+                f"LOCATION '{self.stage_dir(stage)}'"
+            )
+        return spark.table(name)

@@ -72,6 +72,13 @@ class PipelineConfig:
     # at 10^12-file scale a merge-heavy corpus can have a canon map too
     # big for any driver
     broadcast_canon_max_rows: int = 5_000_000
+    # bucket_count > 0 materializes the s1 checkpoints as bucketed tables
+    # hash-clustered on their join keys (concepts on concept_id, edges on
+    # concept_id_1), making the emission membership join co-located —
+    # zero shuffle on either side.  The local analog of Iceberg
+    # storage-partitioned joins for the 10^12-row case where neither side
+    # broadcasts.  0 = plain parquet directories.
+    bucket_count: int = 0
 
     def key(self) -> dict:
         d = asdict(self)
@@ -87,10 +94,12 @@ def _load_inputs(
         concepts, _ = ckpt.get_or_compute(
             spark, "s1_concepts", lambda: derive_concepts(code),
             lineage_col="vocabulary_id", resume=cfg.resume,
+            bucket_col="concept_id", bucket_count=cfg.bucket_count,
         )
         edges, _ = ckpt.get_or_compute(
             spark, "s1_edges", lambda: derive_edges(code, concepts=concepts),
             lineage_col="relationship_id", resume=cfg.resume,
+            bucket_col="concept_id_1", bucket_count=cfg.bucket_count,
         )
     elif cfg.mode == "omop":
         concepts = read_concept(spark, cfg.source)
