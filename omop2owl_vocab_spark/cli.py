@@ -62,6 +62,16 @@ def cli_parser() -> argparse.ArgumentParser:
         "(compat-scale outputs only; K3 parity sink)",
     )
     p.add_argument("--ontology-id", default="OMOP")
+    p.add_argument(
+        "--bucket-count", type=int, default=0,
+        help="materialize s1 checkpoints as bucketed tables clustered on "
+        "the join keys (shuffle-free emission join); 0 = off",
+    )
+    p.add_argument(
+        "--compact-output", action="store_true",
+        help="salted repartition before the final write for few, bounded "
+        "files per vocabulary (adds one full-width shuffle)",
+    )
     p.add_argument("--memory", type=int, default=0, help="ignored (no robot.jar here)")
     p.add_argument("--master", default=None, help="spark master override, e.g. local[8]")
     return p
@@ -84,6 +94,8 @@ def route_and_run(d: dict) -> dict:
         canonicalize=not d.get("no_canonicalize", False),
         exclude_singletons=d.get("exclude_singletons", False),
         resume=d.get("use_cache", False),
+        bucket_count=d.get("bucket_count", 0),
+        compact_output=d.get("compact_output", False),
     )
     spark = get_spark(master=d.get("master"))
     report = run_pipeline(spark, cfg)
