@@ -45,10 +45,16 @@ def word_shingles(
 ) -> DataFrame:
     """(id, shingle) long form — word n-grams over whitespace tokens."""
     toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # standard shingling: documents with fewer than n tokens produce NO
+    # shingles (a truncated sub-n shingle would make two 2-word docs look
+    # like jaccard-1.0 near-dups and diverge from the DuckDB oracle)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle")
     ).filter(F.col("shingle") != "")
@@ -125,16 +131,27 @@ def jaccard_pairs(
     inverted-index join: only pairs sharing ≥1 shingle are ever materialized.
     """
     sizes = shingled.groupBy("id").agg(F.count("*").alias("sz"))
+    if candidates is not None:
+        # prune BEFORE the self-join: restrict each side to ids that appear
+        # in any candidate pair, and drop non-candidate pairs before the
+        # aggregation — otherwise the full co-shingle blowup (the thing LSH
+        # exists to avoid) happens anyway and is discarded afterwards
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        shingled = shingled.join(cand_ids, "id", "left_semi")
     a = shingled.alias("sa")
     b = shingled.alias("sb")
-    inter = (
+    pair_stream = (
         a.join(b, F.col("sa.shingle") == F.col("sb.shingle"))
         .filter(F.col("sa.id") < F.col("sb.id"))
-        .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        pair_stream = pair_stream.join(candidates, ["id_a", "id_b"], "left_semi")
+    inter = pair_stream.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))

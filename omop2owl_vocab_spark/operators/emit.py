@@ -41,10 +41,12 @@ REL_PRED_REVERSE_MAPPING = {"RxNorm inverse is a": "rdfs:subClassOf"}
 
 
 def _partition_vocab() -> F.Column:
-    # X8: empty vocabulary_id → 'Metadata' (omop2owl_vocab.py:478)
-    return F.when(F.col("vocabulary_id") == "", "Metadata").otherwise(
-        F.col("vocabulary_id")
-    )
+    # X8: empty vocabulary_id → 'Metadata' (omop2owl_vocab.py:478).
+    # NULL handled too: code-mode lang is nullable and never null-filled,
+    # and a NULL partition value would land in __HIVE_DEFAULT_PARTITION__
+    # and dodge the salting lineage keys.
+    v = F.coalesce(F.col("vocabulary_id"), F.lit(""))
+    return F.when(v == "", "Metadata").otherwise(v)
 
 
 def emit_concept_triples(concepts: DataFrame) -> DataFrame:

@@ -32,15 +32,14 @@ def write_semsql_sqlite(
     prefix_map: dict[str, str] | None = None,
     max_rows: int = 5_000_000,
 ) -> int:
-    """Write ``statements`` + ``prefix`` tables; returns row count."""
-    n = triples.count()
-    if n > max_rows:
-        raise ValueError(
-            f"{n} triples exceed the SQLite sink bound ({max_rows}); "
-            "use the partitioned parquet/Iceberg output at this scale"
-        )
+    """Write ``statements`` + ``prefix`` tables; returns row count.
+
+    Single pass over the plan: rows are counted while streaming (a separate
+    guard ``count()`` would execute the whole upstream DAG twice); crossing
+    ``max_rows`` aborts, removes the partial file, and raises."""
     if os.path.exists(path):
         os.remove(path)
+    n = 0
     con = sqlite3.connect(path)
     try:
         con.execute(
@@ -58,6 +57,13 @@ def write_semsql_sqlite(
             "subj", "pred", "obj", "obj_is_literal"
         ).toLocalIterator()
         for r in cols:
+            n += 1
+            if n > max_rows:
+                raise ValueError(
+                    f"triple count exceeds the SQLite sink bound "
+                    f"({max_rows}); use the partitioned parquet/Iceberg "
+                    "output at this scale"
+                )
             if r["obj_is_literal"]:
                 row = (r["subj"], r["subj"], r["pred"], None, r["obj"],
                        "xsd:string", None)
@@ -81,6 +87,11 @@ def write_semsql_sqlite(
             "CREATE INDEX statements_predicate_ix ON statements(predicate)"
         )
         con.commit()
+    except Exception:
+        con.close()
+        if os.path.exists(path):
+            os.remove(path)
+        raise
     finally:
         con.close()
     return n

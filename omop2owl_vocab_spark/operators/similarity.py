@@ -32,6 +32,13 @@ def _norm(v):
     )
 
 
+def _cosine(a, b):
+    """Null-safe cosine: zero-norm vectors (padding rows, empty docs) yield
+    NULL instead of an ANSI DIVIDE_BY_ZERO — callers filter nulls out."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,17 +59,12 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
+    cos = _cosine(F.col("qv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cos.alias("cos"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -143,13 +145,12 @@ def ann_topk_bucketed(
         F.col(vec_col).cast("array<double>").alias("cv"),
         "bucket",
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
+    cos = _cosine(F.col("qv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cos"))
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -184,12 +185,12 @@ def embedding_near_duplicates(
         F.col(vec_col).cast("array<double>").alias("vb"),
         "bucket",
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _cosine(F.col("va"), F.col("vb"))
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        .filter(F.col("cos").isNotNull() & (F.col("cos") >= threshold))
         .select(
             "id_a",
             "id_b",

@@ -136,13 +136,14 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
             ).otherwise(out)
         return out
 
-    lit_obj = F.concat(
-        F.lit('"'),
-        F.regexp_replace(
-            F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"'
-        ),
-        F.lit('"'),
-    )
+    # full STRING_LITERAL_QUOTED escaping: backslash first, then quote,
+    # newline, CR, tab — a raw newline inside a literal is invalid N-Triples
+    escaped = F.regexp_replace(F.col("obj"), r"\\", r"\\\\")
+    escaped = F.regexp_replace(escaped, '"', '\\\\"')
+    escaped = F.regexp_replace(escaped, "\n", r"\\n")
+    escaped = F.regexp_replace(escaped, "\r", r"\\r")
+    escaped = F.regexp_replace(escaped, "\t", r"\\t")
+    lit_obj = F.concat(F.lit('"'), escaped, F.lit('"'))
     obj = F.when(F.col("obj_is_literal"), lit_obj).otherwise(iri("obj"))
     return triples.select(
         F.concat_ws(" ", iri("subj"), iri("pred"), obj, F.lit(".")).alias("line")

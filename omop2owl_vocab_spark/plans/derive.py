@@ -89,10 +89,13 @@ def derive_concepts(code_files: DataFrame) -> DataFrame:
 def _dir_paths(code_files: DataFrame) -> DataFrame:
     """Distinct (repo, dirpath) for every proper path prefix — built with
     ``transform(sequence(...))`` + ``explode``, no Python."""
-    parts = F.split(F.col("path"), "/")
+    # NB: guard single-segment paths — sequence(1, 0) is DESCENDING [1, 0]
+    # in Spark, which would fabricate a "directory" named after the file
     prefixes = F.expr(
+        "CASE WHEN size(split(path, '/')) >= 2 THEN "
         "transform(sequence(1, size(split(path, '/')) - 1), "
-        "k -> array_join(slice(split(path, '/'), 1, k), '/'))"
+        "k -> array_join(slice(split(path, '/'), 1, k), '/')) "
+        "ELSE array() END"
     )
     return (
         code_files.select("repo", F.explode(prefixes).alias("dirpath"))
@@ -174,15 +177,17 @@ def derive_edges(
             F.regexp_extract_all("content", F.lit(_IMPORT_RE), 1)
         ).alias("tok"),
     )
-    targets = code_files.select(
+    # single-segment paths (root-level files) have no package dir —
+    # guard the -2 access (element_at throws under ANSI) and drop them
+    # from the import-target side rather than crash the stage
+    parts_t = F.split(F.col("path"), "/")
+    targets = code_files.filter(F.size(parts_t) >= 2).select(
         _file_concept_id().alias("dst_cid"),
         repo.alias("r"),
         F.concat(
-            F.element_at(F.split(F.col("path"), "/"), -2),
+            F.element_at(parts_t, -2),
             F.lit("."),
-            F.regexp_replace(
-                F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]+$", ""
-            ),
+            F.regexp_replace(F.element_at(parts_t, -1), r"\.[^.]+$", ""),
         ).alias("tok"),
     )
     import_edges = (

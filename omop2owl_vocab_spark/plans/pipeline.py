@@ -85,6 +85,33 @@ class PipelineConfig:
         d.pop("resume")
         return d
 
+    # per-stage cache keys: each stage's checkpoint is invalidated only by
+    # the config fields that feed it — re-layout knobs (compact_output,
+    # salt_*, max_records_per_file) must NOT force upstream recomputes
+    def key_s1(self) -> dict:
+        return {
+            "stage": "s1",
+            "source": self.source,
+            "mode": self.mode,
+            "concept_relationship_path": self.concept_relationship_path,
+            "bucket_count": self.bucket_count,
+        }
+
+    def key_s3(self) -> dict:
+        return self.key_s1() | {
+            "stage": "s3",
+            "relationships": self.relationships,
+            "vocabs": self.vocabs,
+            "exclude_singletons": self.exclude_singletons,
+            "dedupe": not self.canonicalize,
+        }
+
+    def key_s4(self) -> dict:
+        return self.key_s1() | {
+            "stage": "s4",
+            "equivalence_rels": self.equivalence_rels,
+        }
+
 
 def _load_inputs(
     spark: SparkSession, cfg: PipelineConfig, ckpt: CheckpointManager
@@ -142,16 +169,39 @@ def _salted_repartition(
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     """Execute S1→S6; returns a report dict (the reference returns a dict of
     output paths, omop2owl_vocab.py:476,545)."""
-    ckpt = CheckpointManager(
-        os.path.join(cfg.output_dir, "ckpt"), cfg.key()
-    )
-    report: dict = {"config_hash": ckpt.hash, "stages": {}}
+    from omop2owl_vocab_spark.plans.checkpoint import config_hash
 
-    concepts, edges = _load_inputs(spark, cfg, ckpt)
+    ckpt_root = os.path.join(cfg.output_dir, "ckpt")
+    # per-stage managers so a re-layout rerun (compact_output, salting,
+    # file-size knobs) reuses every upstream checkpoint
+    ckpt_s1 = CheckpointManager(ckpt_root, cfg.key_s1())
+    ckpt_s3 = CheckpointManager(ckpt_root, cfg.key_s3())
+    ckpt_s4 = CheckpointManager(ckpt_root, cfg.key_s4())
+    full_hash = config_hash(cfg.key())
+    report: dict = {"config_hash": full_hash, "stages": {}}
+
+    out_dir = os.path.join(cfg.output_dir, "triples")
+    manifest_path = os.path.join(cfg.output_dir, "_manifest.json")
+
+    # C1-equivalent whole-run memoization FIRST — a valid final artifact
+    # must short-circuit before any upstream stage recomputes (the
+    # reference skips the whole run when the .db exists,
+    # omop2owl_vocab.py:453-455; checkpoints may have been cleaned away)
+    if cfg.resume and os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        try:
+            with open(manifest_path) as f:
+                if json.load(f).get("config_hash") == full_hash:
+                    report["stages"]["s6_write"] = {"cached": True}
+                    report["output"] = out_dir
+                    return report
+        except OSError:
+            pass
+
+    concepts, edges = _load_inputs(spark, cfg, ckpt_s1)
 
     # emission: skip the dedup shuffle here when canonicalization follows
     # (it dedupes after the rewrite; one full-width shuffle instead of two)
-    triples_raw, cached = ckpt.get_or_compute(
+    triples_raw, cached = ckpt_s3.get_or_compute(
         spark,
         "s3_triples_raw",
         lambda: emit_triples(
@@ -178,12 +228,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             report["stages"]["s4_link"] = stats
             return canonical_map(labels)
 
-        canon, cached = ckpt.get_or_compute(
+        canon, cached = ckpt_s4.get_or_compute(
             spark, "s4_canon_map", _canon_map, resume=cfg.resume
         )
         report["stages"]["s4_canon_map"] = {"cached": cached}
         try:
-            canon_rows = ckpt.metrics("s4_canon_map").get("rows", 0)
+            canon_rows = ckpt_s4.metrics("s4_canon_map").get("rows", 0)
         except OSError:
             canon_rows = 0
         if canon_rows < cfg.broadcast_canon_max_rows:
@@ -195,27 +245,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     else:
         triples = triples_raw
 
-    out_dir = os.path.join(cfg.output_dir, "triples")
-    manifest_path = os.path.join(cfg.output_dir, "_manifest.json")
-
-    # C1-equivalent whole-run memoization: the partitioned output + manifest
-    # hash is the final artifact's checkpoint (reference skips the whole run
-    # when the .db exists, omop2owl_vocab.py:453-455)
-    if cfg.resume and os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        try:
-            with open(manifest_path) as f:
-                if json.load(f).get("config_hash") == ckpt.hash:
-                    report["stages"]["s6_write"] = {"cached": True}
-                    report["output"] = out_dir
-                    return report
-        except OSError:
-            pass
-
     if cfg.compact_output:
         # salt from the raw-stage lineage: canonicalization only shrinks
         # counts slightly, and salting needs magnitude, not exactness
         try:
-            counts = ckpt.metrics("s3_triples_raw").get("partition_lineage")
+            counts = ckpt_s3.metrics("s3_triples_raw").get("partition_lineage")
         except OSError:
             counts = None
         final = _salted_repartition(triples, cfg, counts=counts)
@@ -231,7 +265,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     manifest = {
         "ontology_iri": ONTOLOGY_IRI_FMT.format(cfg.ontology_id),
-        "config_hash": ckpt.hash,
+        "config_hash": full_hash,
         "config": {k: str(v) for k, v in cfg.key().items()},
     }
     with open(manifest_path, "w") as f:

@@ -17,6 +17,9 @@ from pyspark.sql import SparkSession
 # so an over-provisioned shuffle.partitions is safe at any scale.
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
+    # pin ANSI explicitly: Spark 4 flipped the default, and silent
+    # version-dependent null-vs-throw semantics are worse than either choice
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -97,8 +97,12 @@ def _session_fn(
         last_ms, n, total = int(t), n + 1, total + float(v)
 
     state.update((start_ms, last_ms, n, total))
-    # close the open session when the watermark passes last event + gap
-    state.setTimeoutTimestamp(last_ms + GAP_MS)
+    # close the open session when the watermark passes last event + gap;
+    # clamp to just past the CURRENT watermark — a group whose events are
+    # old relative to the stream head would otherwise request a timeout in
+    # the past, which Spark rejects and the query dies
+    timeout_ms = max(last_ms + GAP_MS, state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(timeout_ms)
 
     if closed:
         yield pd.DataFrame(

@@ -68,10 +68,21 @@ def test_bucketed_resume_fresh_catalog(spark, tmp_path):
     src = str(tmp_path / "cf")
     synth_code_files(spark, 1000).write.parquet(src)
     out = str(tmp_path / "o")
+    import os
+
     cfg = PipelineConfig(source=src, output_dir=out, bucket_count=4)
     run_pipeline(spark, cfg)
     for t in spark.catalog.listTables():
         if t.name.startswith("ckpt_s1"):
             spark.sql(f"DROP TABLE {t.name}")
+
+    # intact final artifact → the whole-run memo short-circuits everything
     report = run_pipeline(spark, cfg)
-    assert report["stages"]["s3_triples_raw"] == {"cached": True}
+    assert report["stages"] == {"s6_write": {"cached": True}}
+
+    # invalidate the final artifact: stages resume from the bucketed
+    # checkpoints, re-registering the dropped tables from the metrics DDL
+    os.remove(f"{out}/triples/_SUCCESS")
+    report2 = run_pipeline(spark, cfg)
+    assert report2["stages"]["s3_triples_raw"] == {"cached": True}
+    assert report2["stages"]["s6_write"] == {"cached": False}

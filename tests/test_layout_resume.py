@@ -53,3 +53,20 @@ def test_iceberg_probe_graceful(spark):
     from omop2owl_vocab_spark.sources.code_files import iceberg_available
 
     assert iceberg_available(spark) in (True, False)  # no raise either way
+
+
+def test_relayout_reuses_upstream_checkpoints(spark, tmp_path):
+    """Layout-only knobs must not invalidate upstream stages (per-stage
+    cache keys): rerunning with compact_output=True reuses s1/s3/s4."""
+    src = str(tmp_path / "cf")
+    out = str(tmp_path / "out")
+    synth_code_files(spark, 500).write.parquet(src)
+    run_pipeline(spark, PipelineConfig(source=src, output_dir=out))
+    report = run_pipeline(
+        spark,
+        PipelineConfig(source=src, output_dir=out, compact_output=True,
+                       salt_threshold_rows=100, salt_buckets=2),
+    )
+    assert report["stages"]["s3_triples_raw"] == {"cached": True}
+    assert report["stages"]["s4_canon_map"] == {"cached": True}
+    assert report["stages"]["s6_write"] == {"cached": False}
