@@ -709,16 +709,19 @@ c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings),
 s AS (
   SELECT q.query_id, c.neighbor_id,
-         list_dot_product(qv, cv)
-           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-           AS cos
+         CASE WHEN sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv)) > 0
+              THEN list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv)))
+         END AS cos
   FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
 ),
 r AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM s
+  FROM s WHERE cos IS NOT NULL
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
@@ -775,11 +778,12 @@ def _sim_near_dup_exact(spark, sf_dir):
     )
     norm_a = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
     norm_b = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = dot / (norm_a * norm_b)
+    # zero-norm guard mirrored in the SQL oracle (ANSI-safe, NULL-excluded)
+    cos = F.when(norm_a * norm_b > 0, dot / (norm_a * norm_b))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.3)
+        .filter(F.col("cos").isNotNull() & (F.col("cos") >= 0.3))
         .select(
             "id_a",
             "id_b",
@@ -794,13 +798,16 @@ WITH a AS (SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
 b AS (SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings),
 s AS (
   SELECT id_a, id_b,
-         list_dot_product(va, vb)
-           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
-           AS cos
+         CASE WHEN sqrt(list_dot_product(va, va))
+                   * sqrt(list_dot_product(vb, vb)) > 0
+              THEN list_dot_product(va, vb)
+                   / (sqrt(list_dot_product(va, va))
+                      * sqrt(list_dot_product(vb, vb)))
+         END AS cos
   FROM a JOIN b ON id_a < id_b
 )
 SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
-FROM s WHERE cos >= 0.3
+FROM s WHERE cos IS NOT NULL AND cos >= 0.3
 """
 
 
