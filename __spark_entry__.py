@@ -577,6 +577,44 @@ WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.2
 """
 
 
+def _txt_corpus_stats(spark, sf_dir):
+    """Per-language corpus statistics — the first report any training-data
+    pipeline runs over a new crawl."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.floor(F.avg("n_chars") * 100 + F.lit(0.5)).cast("long").alias("avg_chars_e2"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_TXT_CORPUS_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(floor(AVG(n_chars) * 100 + 0.5) AS BIGINT) AS avg_chars_e2,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _dd_minhash_verified(spark, sf_dir):
+    """The composed scale path: LSH candidate generation → exact Jaccard
+    verification restricted to candidates (vs dd_jaccard's all-pairs
+    baseline). Rows-only check (seeded xxhash64 banding isn't SQL)."""
+    from omop2owl_vocab_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, 32), bands=8)
+    return jaccard_pairs(sh, threshold=0.2, candidates=cand)
+
+
 def _txt_token_stats(spark, sf_dir):
     from omop2owl_vocab_spark.operators.text import token_stats
 
@@ -881,7 +919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": _dd_exact,
         "dd_jaccard": _dd_jaccard,
         "dd_minhash_lsh": _dd_minhash_lsh,
+        "dd_minhash_verified": _dd_minhash_verified,
         "dd_simhash": _dd_simhash,
+        "txt_corpus_stats": _txt_corpus_stats,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
         "txt_lang_id": _txt_lang_id,
@@ -916,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": _Q_SESSIONIZE_SQL,
         "dd_exact": _DD_EXACT_SQL,
         "dd_jaccard": _DD_JACCARD_SQL,
+        "txt_corpus_stats": _TXT_CORPUS_STATS_SQL,
         "txt_token_stats": _TXT_TOKEN_STATS_SQL,
         "txt_quality": _TXT_QUALITY_SQL,
         "txt_lang_id": _TXT_LANG_ID_SQL,

@@ -73,3 +73,25 @@ def test_single_exchange_in_canon_dedup_path(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_output_partition_pruning(spark, tmp_path):
+    """Reading one vocabulary from the partitioned output must prune
+    partitions at the scan (the reason the table is vocab-partitioned)."""
+    from omop2owl_vocab_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from omop2owl_vocab_spark.sources.synth import synth_code_files
+
+    src = str(tmp_path / "cf")
+    out = str(tmp_path / "out")
+    synth_code_files(spark, 500).write.parquet(src)
+    run_pipeline(spark, PipelineConfig(source=src, output_dir=out))
+    df = spark.read.parquet(f"{out}/triples").filter(
+        F.col("vocabulary_id") == "python"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [isnotnull(vocabulary_id" in plan
+    assert "(vocabulary_id#" in plan and "= python)" in plan.replace("  ", " ")
