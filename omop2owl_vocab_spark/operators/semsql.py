@@ -36,11 +36,14 @@ def write_semsql_sqlite(
 
     Single pass over the plan: rows are counted while streaming (a separate
     guard ``count()`` would execute the whole upstream DAG twice); crossing
-    ``max_rows`` aborts, removes the partial file, and raises."""
-    if os.path.exists(path):
-        os.remove(path)
+    ``max_rows`` aborts and raises.  The database is built at a temp path
+    and renamed into place only on success, so a failed rewrite never
+    destroys a pre-existing valid artifact."""
+    tmp_path = path + ".tmp"
+    if os.path.exists(tmp_path):
+        os.remove(tmp_path)
     n = 0
-    con = sqlite3.connect(path)
+    con = sqlite3.connect(tmp_path)
     try:
         con.execute(
             "CREATE TABLE statements (stanza TEXT, subject TEXT, "
@@ -89,9 +92,10 @@ def write_semsql_sqlite(
         con.commit()
     except Exception:
         con.close()
-        if os.path.exists(path):
-            os.remove(path)
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
         raise
     finally:
         con.close()
+    os.replace(tmp_path, path)
     return n

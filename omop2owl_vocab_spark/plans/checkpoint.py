@@ -71,14 +71,26 @@ class CheckpointManager:
         d = self.stage_dir(stage)
         df.write.mode("overwrite").parquet(d)
         wall = time.monotonic() - t0
-        spark = df.sparkSession
-        out = spark.read.parquet(d)
+        out = df.sparkSession.read.parquet(d)
+        self._write_metrics(stage, out, wall, lineage_col, extra)
+        return out
+
+    def _write_metrics(
+        self,
+        stage: str,
+        out: DataFrame,
+        wall: float,
+        lineage_col: str | None,
+        extra: dict | None = None,
+    ) -> None:
+        """Shared metrics contract for dir- and table-mode checkpoints:
+        rows + per-value lineage in ONE job (the groupBy sums to the row
+        count), written atomically."""
         m: dict = {
             "stage": stage,
             "config_hash": self.hash,
             "wall_sec": round(wall, 3),
         }
-        # one job for rows + lineage (the groupBy sums to the row count)
         if lineage_col and lineage_col in out.columns:
             counts = (
                 out.groupBy(lineage_col).agg(F.count("*").alias("n")).collect()
@@ -89,9 +101,10 @@ class CheckpointManager:
             m["rows"] = out.count()
         if extra:
             m.update(extra)
-        with open(self._metrics_path(stage), "w") as f:
+        p = self._metrics_path(stage)
+        with open(p + ".tmp", "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
-        return out
+        os.replace(p + ".tmp", p)
 
     def get_or_compute(
         self,
@@ -138,13 +151,11 @@ class CheckpointManager:
         bucket_count: int,
         lineage_col: str | None = None,
     ) -> DataFrame:
-        import time as _time
-
         spark = df.sparkSession
         name = self._table_name(stage)
         d = self.stage_dir(stage)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        t0 = _time.monotonic()
+        t0 = time.monotonic()
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -153,35 +164,44 @@ class CheckpointManager:
             .option("path", d)
             .saveAsTable(name)
         )
-        wall = _time.monotonic() - t0
+        wall = time.monotonic() - t0
         out = spark.table(name)
-        m: dict = {
-            "stage": stage,
-            "config_hash": self.hash,
-            "wall_sec": round(wall, 3),
-            "bucket_col": bucket_col,
-            "bucket_count": bucket_count,
-            "schema_ddl": ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in out.schema
-            ),
-        }
-        if lineage_col and lineage_col in out.columns:
-            counts = (
-                out.groupBy(lineage_col).agg(F.count("*").alias("n")).collect()
-            )
-            m["partition_lineage"] = {r[0] or "": r[1] for r in counts}
-            m["rows"] = sum(r[1] for r in counts)
-        else:
-            m["rows"] = out.count()
-        with open(self._metrics_path(stage), "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
+        self._write_metrics(
+            stage, out, wall, lineage_col,
+            extra={
+                "bucket_col": bucket_col,
+                "bucket_count": bucket_count,
+                "schema_ddl": ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in out.schema
+                ),
+            },
+        )
         return out
+
+    def _table_location(self, spark: SparkSession, name: str) -> str | None:
+        for row in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+            if row[0] and row[0].strip() == "Location":
+                return row[1].strip()
+        return None
 
     def read_table(self, spark: SparkSession, stage: str) -> DataFrame:
         """Resume path: re-register the external bucketed table if this is
         a fresh session (the catalog is in-memory; the data + metrics on
-        disk are the durable record)."""
+        disk are the durable record).
+
+        A same-named catalog entry left by a previous run at a DIFFERENT
+        location (table names hash config, not output_dir) is dropped and
+        re-registered — trusting it would read another run's directory.
+        """
         name = self._table_name(stage)
+        expected = os.path.realpath(self.stage_dir(stage))
+        if spark.catalog.tableExists(name):
+            loc = self._table_location(spark, name)
+            if loc is not None:
+                loc_path = os.path.realpath(loc.removeprefix("file:"))
+                if loc_path != expected:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
         if not spark.catalog.tableExists(name):
             m = self.metrics(stage)
             spark.sql(

@@ -129,6 +129,11 @@ def _load_inputs(
             bucket_col="concept_id_1", bucket_count=cfg.bucket_count,
         )
     elif cfg.mode == "omop":
+        if cfg.bucket_count:
+            raise ValueError(
+                "bucket_count applies to code mode only (omop mode reads "
+                "CSVs directly with no checkpointed s1 stage to bucket)"
+            )
         concepts = read_concept(spark, cfg.source)
         edges = read_concept_relationship(spark, cfg.concept_relationship_path)
     else:
@@ -194,7 +199,9 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                     report["stages"]["s6_write"] = {"cached": True}
                     report["output"] = out_dir
                     return report
-        except OSError:
+        except (OSError, ValueError):
+            # missing OR truncated manifest (non-atomic legacy writes /
+            # kill mid-dump) → just recompute; never crash the resume path
             pass
 
     concepts, edges = _load_inputs(spark, cfg, ckpt_s1)
@@ -268,8 +275,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         "config_hash": full_hash,
         "config": {k: str(v) for k, v in cfg.key().items()},
     }
-    with open(manifest_path, "w") as f:
+    # atomic: a kill mid-dump must not leave a truncated manifest behind
+    with open(manifest_path + ".tmp", "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(manifest_path + ".tmp", manifest_path)
 
     report["output"] = out_dir
     return report

@@ -93,3 +93,14 @@ def test_semsql_partial_file_removed_on_bound(spark, tmp_path):
     import os
 
     assert not os.path.exists(path)  # no partial artifact left behind
+    assert not os.path.exists(path + ".tmp")
+
+    # a pre-existing valid artifact must survive a failed rewrite
+    write_semsql_sqlite(triples, path, max_rows=100)
+    with pytest.raises(ValueError, match="bound"):
+        write_semsql_sqlite(triples, path, max_rows=5)
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    assert con.execute("SELECT COUNT(*) FROM statements").fetchone()[0] == 20
+    con.close()

@@ -166,12 +166,18 @@ def run_engine(cpath: str, rpath: str, cpus: int = 32) -> dict:
 
 
 def main() -> None:
+    import shutil
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     rels_per = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    work = tempfile.mkdtemp(prefix="vsref_", dir="/dev/shm")
-    cpath, rpath = synth_omop(n, rels_per, work)
-    ref = run_reference(cpath, rpath)
-    eng = run_engine(cpath, rpath)
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="vsref_", dir=work_root)
+    try:
+        cpath, rpath = synth_omop(n, rels_per, work)
+        ref = run_reference(cpath, rpath)
+        eng = run_engine(cpath, rpath)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(
             {
