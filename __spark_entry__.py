@@ -7,8 +7,10 @@ SURVEY §1.4) over TPC-H-shaped concept/edge derivations at sf0.001.
 SURVEY §2 plus the training-data-pipeline operators (dedup, similarity,
 text analysis).  Every float-valued output is exported as
 ``floor(x*10^k + 0.5)`` fixed-point so the DuckDB comparison is exact.
-Non-SQL-expressible ops (minhash LSH, simhash via pandas UDF, mapInPandas
-multimodal features, hyperplane ANN) have no oracle entry → rows-only check.
+Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
+ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
+the identical signatures/buckets, and the multimodal feature extractor
+exports an exact-integer long form — 34/34 hash-checkable.
 """
 
 from __future__ import annotations
@@ -598,10 +600,49 @@ FROM documents GROUP BY lang
 """
 
 
+# shared CTE prefix for the minhash family: 3-word shingles → 32 md5
+# min-hashes → 8 band keys → candidate pairs.  The engine's production
+# default is seeded xxhash64 (faster, JVM codegen); the driver queries pin
+# hash_family='md5' so DuckDB reproduces the exact signatures (minhash
+# element = first 16 hex chars of md5(f"{i}:{shingle}"); MIN over
+# fixed-width lowercase hex == MIN over the unsigned value).
+_MINHASH_BANDS_CTE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+             AS shingle
+    FROM t WHERE len(toks) >= 3
+  ) WHERE shingle <> ''
+),
+mh AS (
+  SELECT id, r.i AS i,
+         MIN(substr(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+  FROM s CROSS JOIN range(32) r(i)
+  GROUP BY id, r.i
+),
+bk AS (
+  SELECT id, i // 4 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS key
+  FROM mh GROUP BY id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+"""
+
+
 def _dd_minhash_verified(spark, sf_dir):
     """The composed scale path: LSH candidate generation → exact Jaccard
     verification restricted to candidates (vs dd_jaccard's all-pairs
-    baseline). Rows-only check (seeded xxhash64 banding isn't SQL)."""
+    baseline).  md5-portable hashing → exact DuckDB oracle."""
     from omop2owl_vocab_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -611,8 +652,32 @@ def _dd_minhash_verified(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, 32), bands=8)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, 32, hash_family="md5"),
+        bands=8,
+        num_hashes=32,
+        hash_family="md5",
+        max_bucket_size=10_000,
+    )
     return jaccard_pairs(sh, threshold=0.2, candidates=cand)
+
+
+_DD_MINHASH_VERIFIED_SQL = _MINHASH_BANDS_CTE + """,
+sz AS (SELECT id, COUNT(*) AS sz FROM s GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.id < b.id
+  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5)
+            AS BIGINT) AS jaccard_e4
+FROM inter
+JOIN sz za ON za.id = id_a
+JOIN sz zb ON zb.id = id_b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.2
+"""
 
 
 def _txt_token_stats(spark, sf_dir):
@@ -849,7 +914,7 @@ FROM s WHERE cos IS NOT NULL AND cos >= 0.3
 """
 
 
-# --------------------------------------------- rows-only (no SQL oracle)
+# ---------------------- LSH family (md5-portable hashing → exact oracles)
 
 
 def _dd_minhash_lsh(spark, sf_dir):
@@ -860,7 +925,21 @@ def _dd_minhash_lsh(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(word_shingles(docs), 32), bands=8)
+    return lsh_candidate_pairs(
+        minhash_signatures(word_shingles(docs), 32, hash_family="md5"),
+        bands=8,
+        num_hashes=32,
+        hash_family="md5",
+        max_bucket_size=10_000,
+    )
+
+
+# bucket cap (10k) can't trip at driver scale (≤500 docs/bucket) so the
+# oracle omits it; the cap behavior itself is unit-tested with a
+# degenerate-bucket fixture in tests/test_dataops.py.
+_DD_MINHASH_LSH_SQL = _MINHASH_BANDS_CTE + """
+SELECT id_a, id_b FROM cand
+"""
 
 
 def _dd_simhash(spark, sf_dir):
@@ -870,24 +949,149 @@ def _dd_simhash(spark, sf_dir):
     )
 
     return simhash_near_duplicates(
-        simhash_signatures(_t(spark, sf_dir, "documents"))
+        simhash_signatures(_t(spark, sf_dir, "documents")),
+        max_bucket_size=10_000,
     )
+
+
+# full simhash re-derivation in SQL: md5-hexdigit bit votes (bit i = bit
+# (i%4) of hex digit (i//4)), weighted by token count, bits → 4×16-bit band
+# keys, pairs on any equal band.  Docs with zero tokens get vote 0 on every
+# bit (sig = 0) — the LEFT JOIN against all documents keeps them, matching
+# the UDF.
+_DD_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+                '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT id, tok, COUNT(*) AS cnt FROM toks GROUP BY id, tok),
+dig AS (
+  SELECT id, cnt, r.i AS i,
+         strpos('0123456789abcdef',
+                substr(md5(tok), (r.i // 4) + 1, 1)) - 1 AS d
+  FROM tc CROSS JOIN range(64) r(i)
+),
+votes AS (
+  SELECT id, i, SUM(cnt * (2 * ((d >> (i % 4)) & 1) - 1)) AS vote
+  FROM dig GROUP BY id, i
+),
+allbits AS (
+  SELECT d.doc_id AS id, r.i AS i,
+         CASE WHEN COALESCE(v.vote, 0) > 0 THEN 1 ELSE 0 END AS bit
+  FROM documents d CROSS JOIN range(64) r(i)
+  LEFT JOIN votes v ON v.id = d.doc_id AND v.i = r.i
+),
+bandkeys AS (
+  SELECT id, CAST(i // 16 AS BIGINT) AS band,
+         CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS key
+  FROM allbits GROUP BY id, i // 16
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bandkeys a JOIN bandkeys b
+  ON a.band = b.band AND a.key = b.key AND a.id < b.id
+"""
 
 
 def _sim_ann_bucketed(spark, sf_dir):
     from omop2owl_vocab_spark.operators.similarity import ann_topk_bucketed
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_topk_bucketed(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return ann_topk_bucketed(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+
+
+# hyperplane weights re-derived from md5('42:b:i') (first nibble even → +1);
+# the projection fold is list_reduce over a 0.0-prepended term list — the
+# exact left-fold order Spark's F.aggregate uses — so bucket sign bits are
+# bit-identical across engines.
+_SIM_ANN_BUCKETED_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+w AS (
+  SELECT b.b AS b, i.i AS i,
+         CASE WHEN substr(md5('42:' || CAST(b.b AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range(8) b(b) CROSS JOIN range(64) i(i)
+),
+wl AS (SELECT b, list(w ORDER BY i) AS wv FROM w GROUP BY b),
+proj AS (
+  SELECT e.vec_id, wl.b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), j -> wl.wv[j] * e.v[j])),
+             (a, x) -> a + x) AS p
+  FROM e CROSS JOIN wl
+),
+bkt AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+           AS bucket
+  FROM proj GROUP BY vec_id
+),
+eb AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM eb),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv)) > 0
+              THEN list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv)))
+         END AS cos
+  FROM q JOIN c USING (bucket) WHERE q.query_id <> c.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s WHERE cos IS NOT NULL
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM r WHERE rank <= 10
+"""
 
 
 def _mm_features(spark, sf_dir):
     from omop2owl_vocab_spark.operators.multimodal import (
-        extract_features,
+        extract_features_long,
         synth_media,
     )
 
-    return extract_features(synth_media(_t(spark, sf_dir, "documents")))
+    return extract_features_long(synth_media(_t(spark, sf_dir, "documents")))
+
+
+# byte histogram over encode(text) via hex-nibble extraction: bin of byte j
+# = value of hex char 2j+1 (the high nibble).  value_e6 uses the same exact
+# integer round-half-up the Arrow stub computes.
+_MM_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         hex(encode(COALESCE(text, ''))) AS hx,
+         octet_length(encode(COALESCE(text, ''))) AS n_bytes
+  FROM documents
+),
+nib AS (
+  SELECT media_id,
+         strpos('0123456789ABCDEF',
+                substr(hx, CAST(i.i AS INTEGER) * 2 + 1, 1)) - 1 AS bin
+  FROM h, LATERAL (SELECT unnest(range(n_bytes)) AS i) i
+),
+cnt AS (SELECT media_id, bin, COUNT(*) AS c FROM nib GROUP BY media_id, bin),
+bins AS (
+  SELECT h.media_id, h.n_bytes, r.i AS bin
+  FROM h CROSS JOIN range(16) r(i)
+)
+SELECT b.media_id,
+       CAST(b.n_bytes AS BIGINT) AS n_bytes,
+       CAST(b.bin AS BIGINT) AS bin,
+       CAST((2 * COALESCE(c.c, 0) * 1000000 + GREATEST(b.n_bytes, 1))
+            // (2 * GREATEST(b.n_bytes, 1)) AS BIGINT) AS value_e6
+FROM bins b
+LEFT JOIN cnt c ON c.media_id = b.media_id AND c.bin = b.bin
+"""
 
 
 # ---------------------------------------------------------------- exports
@@ -964,7 +1168,12 @@ def oracle_sql() -> dict[str, str]:
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,
-        # dd_minhash_lsh, dd_simhash, sim_ann_bucketed, mm_features:
-        # non-SQL-expressible (seeded xxhash64 banding / pandas UDFs /
-        # mapInPandas) → rows-only check by design.
+        # LSH family + multimodal: every hash/band/bucket derivation is
+        # md5-based and engine-portable, so even the pandas-UDF/mapInPandas
+        # paths get exact SQL oracles (full re-derivation in DuckDB).
+        "dd_minhash_lsh": _DD_MINHASH_LSH_SQL,
+        "dd_minhash_verified": _DD_MINHASH_VERIFIED_SQL,
+        "dd_simhash": _DD_SIMHASH_SQL,
+        "sim_ann_bucketed": _SIM_ANN_BUCKETED_SQL,
+        "mm_features": _MM_FEATURES_SQL,
     }

@@ -61,13 +61,35 @@ def word_shingles(
 
 
 def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 32
+    shingled: DataFrame, num_hashes: int = 32, hash_family: str = "xxhash64"
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — k seeded xxhash64 min-hashes in one
-    aggregate pass (no per-hash rescan)."""
-    hashes = F.array(
-        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
-    )
+    """(id, sig: array) — k seeded min-hashes in one aggregate pass (no
+    per-hash rescan).
+
+    hash_family:
+      - ``xxhash64`` (default, production path): seeded JVM xxhash64,
+        whole-stage codegen, array<bigint> signature — fastest.
+      - ``md5``: engine-portable signature — element i is the first 16 hex
+        chars of md5(f"{i}:{shingle}") and MIN is taken over the hex string
+        (lexicographic order on fixed-width lowercase hex == numeric order
+        on the unsigned value), so an external ANSI-SQL engine (the DuckDB
+        correctness oracle) reproduces signatures bit-for-bit.
+    """
+    if hash_family == "xxhash64":
+        hashes = F.array(
+            *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+        )
+    elif hash_family == "md5":
+        hashes = F.array(
+            *[
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return (
         shingled.select("id", hashes.alias("hs"))
         .groupBy("id")
@@ -79,35 +101,60 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8
+def _banded_keys(
+    signatures: DataFrame, bands: int, hash_family: str = "xxhash64"
 ) -> DataFrame:
-    """Band the signature, bucket-join: pairs agreeing on ≥1 band.
-    Output (id_a, id_b) with id_a < id_b, distinct."""
-    banded = signatures.select(
+    """(id, band, key) — one band key per signature slice.  Key hash
+    matches the signature's hash family so the md5 path stays portable."""
+    rows_per_band = (F.size("sig") / bands).cast("int")
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return F.md5(joined) if hash_family == "md5" else F.xxhash64(joined)
+
+    return signatures.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"),
-                                    b * (F.size("sig") / bands).cast("int") + 1,
-                                    (F.size("sig") / bands).cast("int"),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _bucket_bounded_pairs(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Same-bucket pairs (id_a < id_b, distinct) with the within-bucket n²
+    blowup bounded: buckets larger than ``max_bucket_size`` are DROPPED
+    before the self-join.
+
+    Rationale (100 TB posture): the (band, key) self-join is quadratic
+    within a bucket; real corpora have degenerate buckets (boilerplate,
+    near-empty docs) — at 10⁹ docs one hot bucket of 10⁶ ids is 10¹² pairs
+    on a single key, which no AQE skew split fixes (it splits partitions,
+    not the per-key pair count).  Dropping oversized buckets is the
+    standard LSH practice; byte-identical members of a dropped bucket are
+    still caught by ``exact_duplicates``.  Use ``lsh_bucket_stats`` to
+    surface how many buckets/ids a given bound drops.
+    """
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
+        banded = banded.join(small, ["band", "key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -115,6 +162,58 @@ def lsh_candidate_pairs(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    num_hashes: int | None = None,
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs agreeing on ≥1 band.
+    Output (id_a, id_b) with id_a < id_b, distinct.
+
+    ``num_hashes`` (when provided) is validated against ``bands`` — a
+    signature length not divisible by ``bands`` would silently drop the
+    trailing ``num_hashes % bands`` hashes from every band.
+    ``max_bucket_size`` bounds the within-bucket pair blowup (see
+    ``_bucket_bounded_pairs``); None disables the bound (small-scale only).
+    """
+    if num_hashes is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: the "
+            f"trailing {num_hashes % bands} hashes would be silently "
+            "dropped from banding — pick bands | num_hashes"
+        )
+    banded = _banded_keys(signatures, bands, hash_family)
+    return _bucket_bounded_pairs(banded, max_bucket_size)
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """One-row metrics DF for the chosen bound: (n_buckets,
+    n_dropped_buckets, n_dropped_ids, max_bucket_n).  Pipelines log this
+    next to candidate counts so a dropped hot bucket is visible, not
+    silent."""
+    sizes = _banded_keys(signatures, bands, hash_family).groupBy(
+        "band", "key"
+    ).agg(F.count("*").alias("n"))
+    dropped = (
+        F.col("n") > max_bucket_size if max_bucket_size is not None else F.lit(False)
+    )
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_ids"),
+        F.max("n").cast("long").alias("max_bucket_n"),
     )
 
 
@@ -169,7 +268,11 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per doc — Arrow-vectorized pandas UDF (weighted
     bit-vote over token hashes; genuinely awkward as builtin exprs).
-    Deterministic: hash = md5 of token, no randomness."""
+
+    Deterministic AND engine-portable: token hash bits are defined over the
+    md5 *hexdigest* — bit i (0-based) = bit (i mod 4) of hex digit (i div 4)
+    of md5(token) — so an ANSI-SQL engine (the DuckDB oracle) reproduces the
+    full signature with substr(md5(tok), i//4+1, 1) nibble arithmetic."""
     from pyspark.sql.functions import pandas_udf
 
     # NB: annotation must resolve from module globals (PEP 563 strings) —
@@ -189,10 +292,14 @@ def simhash_signatures(
             v = cache.get(tok)
             if v is None:
                 hv = hashlib.md5(tok.encode()).digest()[:8]
-                bits = np.unpackbits(
-                    np.frombuffer(hv, dtype=np.uint8), bitorder="little"
-                )
-                v = bits.astype(np.int32) * 2 - 1  # ±1 votes, bit i = (h>>i)&1
+                digits = np.empty(16, dtype=np.int64)
+                by = np.frombuffer(hv, dtype=np.uint8)
+                digits[0::2] = by >> 4  # hexdigest char 2j = high nibble
+                digits[1::2] = by & 15  # hexdigest char 2j+1 = low nibble
+                # bit i = (digit[i//4] >> (i%4)) & 1  — nibble-indexed so the
+                # SQL oracle's strpos('0123456789abcdef', ...) math matches
+                bits = ((digits[:, None] >> np.arange(4)) & 1).reshape(-1)
+                v = bits.astype(np.int64) * 2 - 1  # ±1 votes
                 cache[tok] = v
             return v
 
@@ -211,9 +318,14 @@ def simhash_signatures(
     )
 
 
-def simhash_near_duplicates(signatures: DataFrame) -> DataFrame:
+def simhash_near_duplicates(
+    signatures: DataFrame, max_bucket_size: int | None = 10_000
+) -> DataFrame:
     """Candidate near-dups: equal on ≥1 of 4 16-bit bands (catches all
-    pairs with Hamming distance ≤ 3). Same bucket-join shape as LSH."""
+    pairs with Hamming distance ≤ 3). Same bucket-join shape as LSH,
+    including the bucket-size bound (an all-empty-docs corpus puts every
+    doc in band key 0 — exactly the degenerate bucket the bound exists
+    for; byte-identical members still dedup via ``exact_duplicates``)."""
     bands = signatures.select(
         "id",
         F.explode(
@@ -230,10 +342,4 @@ def simhash_near_duplicates(signatures: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_bounded_pairs(bands, max_bucket_size)

@@ -95,3 +95,62 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, schema=FEATURES_SCHEMA)
+
+
+FEATURES_LONG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("bin", LongType(), False),
+        StructField("value_e6", LongType(), False),
+    ]
+)
+
+
+def extract_features_long(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Oracle-comparable long form of ``extract_features``: one row per
+    (media_id, bin 0..15) with the normalized histogram value as exact
+    fixed-point.
+
+    value_e6 = round-half-up(count/total * 10^6) computed entirely in
+    integer arithmetic — (2·count·10^6 + total) // (2·total) — so the
+    DuckDB oracle (hex-nibble histogram over encode(text)) matches
+    bit-for-bit with no float-rounding hazard.  Same Arrow ``mapInPandas``
+    plumbing as the array form; at scale the per-doc aggregation happens
+    inside the batch, so output is a bounded 16 rows/doc, never
+    |corpus bytes| rows.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg — not available in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            hists = np.zeros((n, 16), dtype=np.int64)
+            totals = np.ones(n, dtype=np.int64)  # guard: empty payload → /1
+            nbytes = np.zeros(n, dtype=np.int64)
+            for j, payload in enumerate(pdf["payload"]):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                hists[j] = np.bincount(buf >> 4, minlength=16)
+                nbytes[j] = len(buf)
+                totals[j] = max(len(buf), 1)
+            t = totals[:, None]
+            value_e6 = (2 * hists * 1_000_000 + t) // (2 * t)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), 16),
+                    "n_bytes": np.repeat(nbytes, 16),
+                    "bin": np.tile(np.arange(16, dtype=np.int64), n),
+                    "value_e6": value_e6.reshape(-1),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FEATURES_LONG_SCHEMA)

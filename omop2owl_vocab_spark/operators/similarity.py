@@ -14,7 +14,7 @@ cross-engine comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,6 +81,9 @@ def cosine_topk(
     )
 
 
+_EVEN_HEX = list("02468ace")
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_bits: int = 8,
@@ -91,24 +94,45 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Deterministic random-hyperplane LSH bucket per vector.
 
-    Hyperplane matrix is derived from xxhash64(seed, bit, component) —
-    reproducible across runs/cluster sizes with zero driver state.  Bucket
-    = sign-bit string of the n_bits projections.
+    The ±1 hyperplane weight for (bit b, component i) is derived from
+    md5(f"{seed}:{b}:{i}") — first hex nibble even → +1 — which is (a)
+    reproducible across runs/cluster sizes with zero driver state and (b)
+    engine-portable, so the DuckDB oracle rebuilds the identical weight
+    matrix.  The projection is a left fold in component order (matching
+    SQL ``list_reduce``), making bucket assignment bit-identical across
+    engines.  Bucket = sign-bit string of the n_bits projections.
+
+    ``dim`` is required: array columns carry no static length in the
+    schema, and probing the data for it would launch a driver-side job per
+    call (and break on an empty/NULL-first DataFrame).
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "hyperplane_buckets requires an explicit dim= (embedding "
+            "length); inferring it would run a driver-side job per call"
+        )
     v = F.col(vec_col).cast("array<double>")
+
+    def _signed(b):
+        # pseudo-random ±1 weight per component, folded into the dot product
+        def f(x, i):
+            nibble = F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.lit(str(b)), i.cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            return F.when(nibble.isin(*_EVEN_HEX), x).otherwise(-x)
+
+        return f
+
     bits = []
     for b in range(n_bits):
-        # pseudo-random ±1 weights per component, folded into the dot product
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: F.when(
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(b), i), 2) == 0, x
-                ).otherwise(-x),
-            ),
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), _signed(b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -118,23 +142,54 @@ def hyperplane_buckets(
     )
 
 
+def _probe_buckets(bucket: Column, n_bits: int, probes: int) -> Column:
+    """Array of buckets to probe: the vector's own bucket plus, for each of
+    the first ``probes`` bit positions, the bucket with that bit flipped —
+    the standard Hamming-1 multi-probe that lifts recall without widening
+    buckets (probing j buckets ≈ j× candidates, still linear)."""
+    flips = [
+        F.concat(
+            F.substring(bucket, 1, j),
+            F.when(F.substring(bucket, j + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(bucket, j + 2, n_bits - j - 1),
+        )
+        for j in range(min(probes, n_bits))
+    ]
+    return F.array(bucket, *flips)
+
+
 def ann_topk_bucketed(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_bits: int = 8,
+    dim: int | None = None,
+    probes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: compare only within the query's hyperplane bucket.
+    """ANN top-k: compare only within the query's hyperplane bucket(s).
 
     At 10⁹ vectors / 2⁸ buckets this turns the n·q cross product into
     n·q/256 — the standard recall-for-throughput trade; recall vs brute
     force is measured in tests (same-bucket probability rises with vector
-    similarity by the hyperplane LSH property).
+    similarity by the hyperplane LSH property).  ``probes`` > 0 adds
+    Hamming-1 multi-probe on the query side: each query also scans the
+    buckets with one of the first ``probes`` bits flipped, lifting recall
+    at a linear (probes+1)× candidate cost.  ``dim`` is required (see
+    ``hyperplane_buckets``).
     """
-    cb = hyperplane_buckets(corpus, n_bits, id_col=id_col, vec_col=vec_col)
-    qb = hyperplane_buckets(queries, n_bits, id_col=id_col, vec_col=vec_col)
+    cb = hyperplane_buckets(corpus, n_bits, dim=dim, id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_buckets(queries, n_bits, dim=dim, id_col=id_col, vec_col=vec_col)
+    if probes:
+        # corpus buckets are disjoint per vector, query probe buckets are
+        # distinct strings → no (query, neighbor) pair can appear twice,
+        # so no dedup is needed before ranking
+        qb = qb.withColumn(
+            "bucket", F.explode(_probe_buckets(F.col("bucket"), n_bits, probes))
+        )
     q = qb.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -169,12 +224,14 @@ def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
     n_bits: int = 8,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
-    hyperplane LSH so only same-bucket pairs are scored."""
-    b = hyperplane_buckets(df, n_bits, id_col=id_col, vec_col=vec_col)
+    hyperplane LSH so only same-bucket pairs are scored.  ``dim`` is
+    required (see ``hyperplane_buckets``)."""
+    b = hyperplane_buckets(df, n_bits, dim=dim, id_col=id_col, vec_col=vec_col)
     a = b.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),

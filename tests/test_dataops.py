@@ -49,6 +49,73 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (1, 2) in cand  # 0.75 jaccard: expected with 8 bands of 4
 
 
+def test_minhash_md5_family_matches_xxhash_semantics(spark, docs):
+    """The md5-portable family finds the same near-dup structure as the
+    production xxhash64 family on a clear-cut corpus."""
+    sh = D.word_shingles(docs, 3)
+    sig = D.minhash_signatures(sh, num_hashes=32, hash_family="md5")
+    cand = {
+        tuple(r)
+        for r in D.lsh_candidate_pairs(
+            sig, bands=8, num_hashes=32, hash_family="md5"
+        ).collect()
+    }
+    assert (1, 4) in cand  # identical docs always collide
+    assert (1, 2) in cand  # 0.75 jaccard: expected with 8 bands of 4
+
+
+def test_lsh_bands_divisibility_validated(spark, docs):
+    sig = D.minhash_signatures(D.word_shingles(docs, 3), num_hashes=30)
+    with pytest.raises(ValueError, match="divisible"):
+        D.lsh_candidate_pairs(sig, bands=8, num_hashes=30)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """10⁴ identical docs = one degenerate LSH bucket.  Uncapped, the
+    band self-join would materialize ~8·(10⁴ choose 2) ≈ 4·10⁸ joined rows;
+    with the cap the bucket is dropped and candidates stay LINEAR (zero
+    here — exact_duplicates owns byte-identical content)."""
+    n = 10_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated every single time").alias(
+            "text"
+        ),
+    )
+    distinct_tail = spark.createDataFrame(
+        [
+            Row(doc_id=n + 1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=n + 2, text="alpha beta gamma delta epsilon eta"),
+        ]
+    )
+    docs = base.unionByName(distinct_tail)
+    sig = D.minhash_signatures(D.word_shingles(docs, 3), num_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, bands=4, max_bucket_size=100)
+    got = {tuple(r) for r in pairs.collect()}
+    # the degenerate bucket is dropped entirely; the two distinct near-dup
+    # docs still pair up
+    assert got == {(n + 1, n + 2)}
+    stats = D.lsh_bucket_stats(
+        sig, bands=4, max_bucket_size=100
+    ).collect()[0]
+    assert stats["n_dropped_buckets"] == 4  # all 4 bands of the hot bucket
+    assert stats["max_bucket_n"] == n
+    # and the dropped ids are surfaced, not silent
+    assert stats["n_dropped_ids"] == 4 * n
+
+
+def test_simhash_bucket_cap(spark):
+    """All-empty docs share simhash 0 — the degenerate band bucket the cap
+    exists for."""
+    empties = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("").alias("text")
+    )
+    sig = D.simhash_signatures(empties)
+    assert D.simhash_near_duplicates(sig, max_bucket_size=10).count() == 0
+    # uncapped: quadratic blowup (50·49/2 pairs)
+    assert D.simhash_near_duplicates(sig, max_bucket_size=None).count() == 1225
+
+
 def test_simhash(spark, docs):
     sigs = {r["id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
     assert sigs[1] == sigs[4]  # identical text → identical signature
@@ -99,16 +166,50 @@ def test_cosine_topk(spark, vectors):
 def test_ann_recall_vs_brute_force(spark, vectors):
     # near-identical vectors land in the same hyperplane bucket
     out = S.ann_topk_bucketed(
-        vectors, vectors.filter(F.col("vec_id") == 1), k=2, n_bits=4
+        vectors, vectors.filter(F.col("vec_id") == 1), k=2, n_bits=4, dim=3
     )
     neighbors = {r["neighbor_id"] for r in out.collect()}
     assert 4 in neighbors
 
 
+def test_ann_requires_explicit_dim(spark, vectors):
+    with pytest.raises(ValueError, match="dim"):
+        S.hyperplane_buckets(vectors, n_bits=4).collect()
+
+
+def test_ann_multiprobe_recall_floor(spark):
+    """Multi-probe (Hamming-1) recall vs brute-force top-10 must clear a
+    floor that single-probe alone is not guaranteed to reach."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+    # 500 near-random vectors: 4 bits / 4 probes scans 5/16 of the corpus;
+    # measured recall 0.44 vs 0.12 single-probe (probe sweep 2026-08)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_bucketed(
+            emb, queries, k=10, n_bits=4, dim=64, probes=4
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_bucketed(
+            emb, queries, k=10, n_bits=4, dim=64, probes=0
+        ).collect()
+    }
+    recall_single = len(truth & single) / len(truth)
+    assert recall >= 0.30, f"multi-probe recall {recall:.2f} below floor"
+    assert recall >= recall_single  # probing only ever widens the net
+
+
 def test_embedding_near_duplicates(spark, vectors):
     pairs = {
         (r["id_a"], r["id_b"]) for r in
-        S.embedding_near_duplicates(vectors, threshold=0.99).collect()
+        S.embedding_near_duplicates(vectors, threshold=0.99, dim=3).collect()
     }
     assert (1, 4) in pairs
     assert (1, 3) not in pairs
@@ -126,3 +227,24 @@ def test_multimodal_plumbing(spark, docs):
 def test_multimodal_real_decode_is_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         M.extract_features(M.synth_media(docs), fake=False)
+    with pytest.raises(NotImplementedError):
+        M.extract_features_long(M.synth_media(docs), fake=False)
+
+
+def test_multimodal_long_form_matches_array_form(spark, docs):
+    """The oracle-comparable long form carries the same histogram as the
+    array form, in exact e6 fixed-point (16 rows per media_id, values sum
+    to ~10^6)."""
+    media = M.synth_media(docs.filter(F.col("doc_id") <= 2))
+    long_rows = M.extract_features_long(media).collect()
+    assert len(long_rows) == 32
+    by_id: dict = {}
+    for r in long_rows:
+        by_id.setdefault(r["media_id"], {})[r["bin"]] = r["value_e6"]
+    arr = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    for mid, bins in by_id.items():
+        assert set(bins) == set(range(16))
+        # each long value agrees with the array form within 1 ulp of e6
+        for b in range(16):
+            assert abs(bins[b] - round(arr[mid]["features"][b] * 1e6)) <= 1
+        assert abs(sum(bins.values()) - 1_000_000) <= 16  # rounding slack

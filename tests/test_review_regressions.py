@@ -34,8 +34,13 @@ def test_zero_norm_vectors_do_not_crash_similarity(spark):
     emb = spark.createDataFrame(rows)
     topk = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=5).collect()
     assert {r["neighbor_id"] for r in topk} == {3}  # zero vec excluded
-    assert S.embedding_near_duplicates(emb, threshold=0.5).count() >= 0
-    assert S.ann_topk_bucketed(emb, emb.filter(F.col("vec_id") == 1), k=5).count() >= 0
+    assert S.embedding_near_duplicates(emb, threshold=0.5, dim=2).count() >= 0
+    assert (
+        S.ann_topk_bucketed(
+            emb, emb.filter(F.col("vec_id") == 1), k=5, dim=2
+        ).count()
+        >= 0
+    )
 
 
 def test_short_docs_produce_no_shingles(spark):
