@@ -21,6 +21,7 @@ from omop2owl_vocab_spark.schemas import (
 )
 from omop2owl_vocab_spark.session import get_spark
 from omop2owl_vocab_spark.plans.pipeline import run_pipeline
+from omop2owl_vocab_spark.api import omop2owl
 
 __all__ = [
     "CONCEPT_SCHEMA",
@@ -29,6 +30,7 @@ __all__ = [
     "TRIPLES_COLUMNS",
     "get_spark",
     "run_pipeline",
+    "omop2owl",
 ]
 
 __version__ = "0.1.0"

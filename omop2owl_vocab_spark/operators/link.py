@@ -27,25 +27,43 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Return ``(labels, stats)`` with labels = (node, component) and
     component = min node id (lexicographic — ids are strings end-to-end,
     matching the reference's all-string data plane) in the component.
 
     Input edges need not be symmetric or deduplicated.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    RELIABLE checkpoints into that directory (HDFS/S3/shared fs) via
+    ``setCheckpointDir`` + ``DataFrame.checkpoint``.  Default (None) uses
+    ``localCheckpoint`` — fine on local[*] and fastest, but executor-local
+    blocks are LOST under executor failure or dynamic deallocation on a
+    real cluster, killing a long CC run; pass a directory there.
     """
+    if checkpoint_dir is not None:
+        sc = edges.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = _ckpt(sym)
 
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
 
     stats: dict = {"rounds": 0, "changed_per_round": [], "converged": False}
@@ -72,10 +90,8 @@ def connected_components(
         acc = parts[0]
         for p in parts[1:]:
             acc = acc.unionByName(p)
-        new_labels = (
-            acc.groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        new_labels = _ckpt(
+            acc.groupBy("node").agg(F.min("label").alias("label"))
         )
         changed = (
             new_labels.alias("n")

@@ -25,6 +25,17 @@ from omop2owl_vocab_spark.functions.curie import PREFIX_MAP
 
 _BATCH = 10_000
 
+# the standard prefixes every CURIE in our emitted triples can use — a
+# semsql consumer (oaklib SqlImplementation) resolves rdf:type /
+# rdfs:label / rdfs:subClassOf / owl:Class / xsd:string through this
+# table (reference ships them in prefixes.csv:1-5)
+CORE_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
 
 def write_semsql_sqlite(
     triples: DataFrame,
@@ -53,7 +64,7 @@ def write_semsql_sqlite(
         con.execute("CREATE TABLE prefix (prefix TEXT, base TEXT)")
         con.executemany(
             "INSERT INTO prefix VALUES (?, ?)",
-            sorted((prefix_map or PREFIX_MAP).items()),
+            sorted((prefix_map or {**CORE_PREFIXES, **PREFIX_MAP}).items()),
         )
         batch = []
         cols = triples.select(

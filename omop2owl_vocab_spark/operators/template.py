@@ -51,15 +51,25 @@ def to_robot_template(triples: DataFrame) -> tuple[DataFrame, dict[str, str]]:
 
     Returns one row per subject with annotation columns and pipe-joined
     object columns per edge predicate.  Single aggregate (one shuffle).
+
+    Column parity with the reference: ``rdfs:subClassOf`` is ALWAYS
+    present (the reference's subheader carries it unconditionally,
+    ``ROBOT_SUBHEADER`` at omop2owl_vocab.py:43-55) even when no edge
+    survives filtering.  Known divergence: data rows sort
+    lexicographically by CURIE, not concept-table input order — this is a
+    debug sink; byte ordering is not part of the parity contract.
     """
     edge_preds = sorted(
-        r[0]
-        for r in triples.filter(
-            (~F.col("obj_is_literal")) & (F.col("pred") != "rdf:type")
-        )
-        .select("pred")
-        .distinct()
-        .collect()
+        {
+            r[0]
+            for r in triples.filter(
+                (~F.col("obj_is_literal")) & (F.col("pred") != "rdf:type")
+            )
+            .select("pred")
+            .distinct()
+            .collect()
+        }
+        | {"rdfs:subClassOf"}
     )
     ann_map = {
         "Label": "rdfs:label",

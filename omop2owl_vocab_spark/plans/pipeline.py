@@ -79,10 +79,15 @@ class PipelineConfig:
     # storage-partitioned joins for the 10^12-row case where neither side
     # broadcasts.  0 = plain parquet directories.
     bucket_count: int = 0
+    # reliable-checkpoint dir for the CC driver loop (HDFS/S3/shared fs) —
+    # None = localCheckpoint (local-mode default; lossy under executor
+    # loss on a real cluster, see operators/link.py)
+    cc_checkpoint_dir: str | None = None
 
     def key(self) -> dict:
         d = asdict(self)
         d.pop("resume")
+        d.pop("cc_checkpoint_dir")  # where lineage truncates ≠ what's computed
         return d
 
     # per-stage cache keys: each stage's checkpoint is invalidated only by
@@ -110,6 +115,9 @@ class PipelineConfig:
         return self.key_s1() | {
             "stage": "s4",
             "equivalence_rels": self.equivalence_rels,
+            # the equivalence graph is vocab-scoped (see run_pipeline) —
+            # a different scope is a different canon map
+            "vocabs": self.vocabs,
         }
 
 
@@ -231,7 +239,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                 F.col("concept_id_1").alias("src"),
                 F.col("concept_id_2").alias("dst"),
             )
-            labels, stats = connected_components(eq)
+            if cfg.vocabs:
+                # scope the equivalence graph to in-scope concepts on BOTH
+                # endpoints: a cross-vocab 'Maps to' edge must not rewrite
+                # an in-scope subject to a canonical id that has no
+                # class/label triples in this output (and would silently
+                # drop the in-scope id).  `concepts` is already
+                # vocab-filtered by _load_inputs.
+                ids = concepts.select(F.col("concept_id").alias("src"))
+                eq = eq.join(ids, "src", "left_semi").join(
+                    ids.withColumnRenamed("src", "dst"), "dst", "left_semi"
+                )
+            labels, stats = connected_components(
+                eq, checkpoint_dir=cfg.cc_checkpoint_dir
+            )
             report["stages"]["s4_link"] = stats
             return canonical_map(labels)
 
@@ -270,10 +291,28 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     )
     report["stages"]["s6_write"] = {"cached": False}
 
+    # X4 (reference omop2owl_vocab.py:186,452,481): per-vocab artifact
+    # names are space→dash normalized.  Partition values stay verbatim in
+    # the table (data fidelity; Spark URL-escapes specials in dir names) —
+    # the manifest records the reference-compatible artifact name each
+    # vocab partition corresponds to.
+    from urllib.parse import unquote
+
+    from omop2owl_vocab_spark.api import merged_artifact_name
+
+    per_vocab = {}
+    for entry in sorted(os.listdir(out_dir)):
+        if entry.startswith("vocabulary_id="):
+            vocab = unquote(entry.split("=", 1)[1])
+            per_vocab[vocab] = merged_artifact_name(
+                f"{cfg.ontology_id}-{vocab}", [], "owl"
+            )
+
     manifest = {
         "ontology_iri": ONTOLOGY_IRI_FMT.format(cfg.ontology_id),
         "config_hash": full_hash,
         "config": {k: str(v) for k, v in cfg.key().items()},
+        "per_vocab_artifacts": per_vocab,
     }
     # atomic: a kill mid-dump must not leave a truncated manifest behind
     with open(manifest_path + ".tmp", "w") as f:

@@ -89,12 +89,25 @@ def _session_fn(
 
     closed: list[tuple[int, int, int, float]] = []
     for t, v in zip(ts_ms, vals):
+        t = int(t)
         if n > 0 and t - last_ms > GAP_MS:
             closed.append((start_ms, last_ms, n, total))
-            start_ms, n, total = int(t), 0, 0.0
+            n, total = 0, 0.0
         if n == 0:
-            start_ms = int(t)
-        last_ms, n, total = int(t), n + 1, total + float(v)
+            start_ms, last_ms = t, t
+        else:
+            # Cross-batch out-of-order: a within-watermark late event can be
+            # OLDER than the state's last_ms (each batch is sorted; batches
+            # aren't mutually ordered).  Fold it in by widening the session
+            # in both directions — start_ms lowers, last_ms never regresses
+            # (a regressed last_ms would shrink the timeout and mis-close).
+            # Residual documented divergence vs the batch session_window
+            # twin: a late event older than start_ms - gap belonged to an
+            # earlier, possibly already-emitted session; it is absorbed
+            # here rather than retracted (append-mode streams can't retract).
+            start_ms = min(start_ms, t)
+            last_ms = max(last_ms, t)
+        n, total = n + 1, total + float(v)
 
     state.update((start_ms, last_ms, n, total))
     # close the open session when the watermark passes last event + gap;

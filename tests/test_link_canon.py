@@ -90,3 +90,72 @@ def test_triples_diff_and_distributed_pr(spark):
     assert {tuple(r) for r in d["removed"].collect()} == {("s3", "p", "o3")}
     p, r = precision_recall(a, b)
     assert (p, r) == (0.5, 0.5)
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches per-round lineage truncation to reliable
+    checkpoints (cluster-safe); results identical to localCheckpoint."""
+    import os
+
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    pairs = [(str(i), str(i + 1)) for i in range(1, 6)]
+    labels, stats = connected_components(
+        _edges(spark, pairs), checkpoint_dir=ckpt_dir
+    )
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert set(got.values()) == {"1"}
+    assert stats["converged"]
+    # reliable checkpoint blocks actually landed in the directory
+    assert any(os.scandir(ckpt_dir))
+
+
+def test_vocab_scoped_canonicalization(spark, tmp_path):
+    """ADVICE r1 (medium): with vocabs scoping + canonicalize=True, a
+    cross-vocab 'Maps to' edge must NOT rewrite an in-scope subject to an
+    out-of-scope canonical id (which has no class/label triples here)."""
+    import pandas as pd
+
+    from omop2owl_vocab_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    cdir = tmp_path / "in"
+    cdir.mkdir()
+    cols = ["concept_id", "concept_name", "domain_id", "vocabulary_id",
+            "concept_class_id", "standard_concept", "concept_code",
+            "valid_start_date", "valid_end_date", "invalid_reason"]
+    # ids are strings end-to-end and the canonical label is the
+    # lexicographic min — '050' < '100' makes the OUT-of-scope concept the
+    # component canonical, which is exactly the reported failure shape
+    pd.DataFrame(
+        [
+            ["100", "in-scope", "D", "A", "K", "S", "100", "", "", ""],
+            ["050", "out-of-scope", "D", "B", "K", "S", "050", "", "", ""],
+        ],
+        columns=cols,
+    ).to_csv(cdir / "concept.csv", index=False)
+    rcols = ["concept_id_1", "concept_id_2", "relationship_id",
+             "valid_start_date", "valid_end_date", "invalid_reason"]
+    pd.DataFrame(
+        [["100", "050", "Maps to", "", "", ""]],
+        columns=rcols,
+    ).to_csv(cdir / "concept_relationship.csv", index=False)
+
+    out = str(tmp_path / "out")
+    report = run_pipeline(
+        spark,
+        PipelineConfig(
+            source=str(cdir / "concept.csv"),
+            concept_relationship_path=str(cdir / "concept_relationship.csv"),
+            mode="omop",
+            output_dir=out,
+            relationships=["ALL"],
+            vocabs=["A"],
+            canonicalize=True,
+            resume=False,
+        ),
+    )
+    triples = spark.read.parquet(report["output"])
+    subjects = {r[0] for r in triples.select("subj").distinct().collect()}
+    # the in-scope concept survives under its own id; nothing references
+    # the out-of-scope canonical
+    assert "OMOP:100" in subjects
+    assert "OMOP:050" not in subjects

@@ -79,3 +79,80 @@ def test_stream_matches_batch_sessions(spark, tmp_path):
     for u, *_ in got:
         by_user[u] = by_user.get(u, 0) + 1
     assert by_user.get(1) == 2 and by_user.get(2) == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to drive _session_fn batch-by-batch."""
+
+    def __init__(self):
+        self._tuple = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = t
+
+    def remove(self):
+        self._tuple = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def _batch(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(ms, unit="ms") for ms, _ in rows],
+            "value": [v for _, v in rows],
+        }
+    )
+
+
+def test_cross_batch_late_event_widens_session():
+    """ADVICE r1: a within-watermark late event arriving in a LATER
+    micro-batch (older than state's last_ms) must lower session_start and
+    must not regress last_ms/timeout."""
+    from omop2owl_vocab_spark.streaming.sessionize import _session_fn
+
+    state = _FakeState()
+    m = 60_000
+    # batch 1: events at t=10min and t=20min
+    list(_session_fn((7,), [_batch([(10 * m, 1.0), (20 * m, 1.0)])], state))
+    start_ms, last_ms, n, total = state.get
+    assert (start_ms, last_ms, n) == (10 * m, 20 * m, 2)
+    t1 = state.timeout_ms
+
+    # batch 2: late event at t=5min (within watermark, older than last_ms)
+    out = list(_session_fn((7,), [_batch([(5 * m, 1.0)])], state))
+    assert out == []  # nothing closes — the session widens
+    start_ms, last_ms, n, total = state.get
+    assert start_ms == 5 * m      # start lowered to the true min
+    assert last_ms == 20 * m      # last NOT regressed
+    assert n == 3
+    assert state.timeout_ms >= t1  # timeout never moves backwards
+
+
+def test_in_batch_gap_still_closes():
+    from omop2owl_vocab_spark.streaming.sessionize import _session_fn
+
+    state = _FakeState()
+    m = 60_000
+    out = list(
+        _session_fn((1,), [_batch([(0, 1.0), (100 * m, 2.0)])], state)
+    )
+    assert len(out) == 1 and out[0]["n_events"].tolist() == [1]
+    start_ms, last_ms, n, total = state.get
+    assert (start_ms, last_ms, n, total) == (100 * m, 100 * m, 1, 2.0)

@@ -79,3 +79,112 @@ def test_cli_omop_mode(spark, tmp_path):
     manifest = json.load(open(f"{out}/_manifest.json"))
     assert manifest["ontology_iri"].endswith("/OMOP/ontology")
     assert spark.read.parquet(report["output"]).count() > 0
+
+
+def test_cli_omop_mode_writes_semsql_by_default(spark, tmp_path):
+    """Reference parity: omop-mode runs produce the .db unless -S
+    (omop2owl_vocab.py:540-542); -S suppresses it; -s rebuilds it alone."""
+    import os
+    import sqlite3
+
+    from omop2owl_vocab_spark.cli import cli_parser, route_and_run
+
+    concept = sorted(glob.glob("/root/reference/test/input/*/concept.csv"))[0]
+    rel = concept.replace("concept.csv", "concept_relationship.csv")
+    out = str(tmp_path / "cli_semsql")
+    base = ["-c", concept, "-r", rel, "-O", out, "-R", "ALL",
+            "--no-canonicalize", "--master", "local[4]"]
+
+    # -S: no db
+    d = vars(cli_parser().parse_args(base + ["-S"]))
+    report = route_and_run(d)
+    assert "semsql" not in report
+    assert not os.path.exists(f"{out}/OMOP.db")
+
+    # -s: rebuild just the db from the existing triples output
+    d = vars(cli_parser().parse_args(base + ["-s"]))
+    report = route_and_run(d)
+    assert report["semsql"].endswith("OMOP.db")
+    con = sqlite3.connect(report["semsql"])
+    n = con.execute("SELECT COUNT(*) FROM statements").fetchone()[0]
+    con.close()
+    assert n == report["semsql_rows"] > 0
+
+    # default (no flags): db written as part of the run
+    out2 = str(tmp_path / "cli_semsql_dflt")
+    d = vars(cli_parser().parse_args(
+        ["-c", concept, "-r", rel, "-O", out2, "-R", "ALL",
+         "--no-canonicalize", "--master", "local[4]"]
+    ))
+    report = route_and_run(d)
+    assert os.path.exists(report["semsql"])
+
+
+def test_cli_rxnorm_preset(spark, tmp_path):
+    """-o rxnorm expands the reference preset (omop2owl_vocab.py:580-586):
+    vocabs=[RxNorm, ATC], relationships=[Is a, Maps to, RxNorm inverse is a],
+    -R ignored, artifact named OMOP-RxNorm.db (naming rule :167-175)."""
+    from omop2owl_vocab_spark.cli import cli_parser, route_and_run
+
+    concept = "/root/reference/test/input/RxNorm/concept.csv"
+    rel = "/root/reference/test/input/RxNorm/concept_relationship.csv"
+    out = str(tmp_path / "cli_rx")
+    d = vars(cli_parser().parse_args(
+        ["-c", concept, "-r", rel, "-O", out, "-o", "rxnorm",
+         "-R", "Subsumes",  # must be ignored by the preset
+         "--no-canonicalize", "--master", "local[4]"]
+    ))
+    report = route_and_run(d)
+    manifest = json.load(open(f"{out}/_manifest.json"))
+    assert manifest["config"]["vocabs"] == "['RxNorm', 'ATC']"
+    assert (
+        manifest["config"]["relationships"]
+        == "['Is a', 'Maps to', 'RxNorm inverse is a']"
+    )
+    assert report["semsql"].endswith("OMOP-RxNorm.db")
+    triples = spark.read.parquet(report["output"])
+    vocabs = {r[0] for r in triples.select("vocabulary_id").distinct().collect()}
+    assert vocabs <= {"RxNorm", "ATC"}  # scope applied (fixture has no ATC)
+    # preset relationships only: no Subsumes / tradename edges leak through
+    preds = {r[0] for r in triples.select("pred").distinct().collect()}
+    assert "omoprel:Has_tradename" not in preds
+
+
+def test_omop2owl_kwargs_adapter(spark, tmp_path):
+    """Library parity: omop2owl(**kw) with the reference's exact keyword
+    surface (omop2owl_vocab.py:430-438), including inert pandas/robot-era
+    kwargs and str→list coercion."""
+    from omop2owl_vocab_spark import omop2owl
+
+    concept = "/root/reference/test/input/ICD10CM/concept.csv"
+    rel = concept.replace("concept.csv", "concept_relationship.csv")
+    report = omop2owl(
+        concept_csv_path=concept,
+        concept_relationship_csv_path=rel,
+        relationships="ALL",            # bare string must coerce
+        vocabs="ICD10CM",               # bare string must coerce
+        split_by_vocab=True,            # inert, accepted
+        split_by_vocab_merge_after=True,
+        memory=100,
+        retain_general_cache=False,
+        outdir=str(tmp_path / "api_out"),
+        spark=spark,
+    )
+    assert spark.read.parquet(report["output"]).count() > 0
+    assert report["semsql"].endswith("OMOP-ICD10CM.db")
+
+
+def test_merged_artifact_name_rules():
+    from omop2owl_vocab_spark.api import merged_artifact_name
+
+    assert merged_artifact_name("OMOP", [], "db") == "OMOP.db"
+    assert merged_artifact_name("OMOP", ["RxNorm", "ATC"], "db") == "OMOP-RxNorm.db"
+    assert (
+        merged_artifact_name("OMOP", ["A", "B", "RxNorm"], "db")
+        == "OMOP-A-B-RxNorm.db"
+    )
+    # X4: the reference's space→dash filename repair (omop2owl_vocab.py:186)
+    assert (
+        merged_artifact_name("OMOP", ["Procedure Type"], "db")
+        == "OMOP-Procedure-Type.db"
+    )
