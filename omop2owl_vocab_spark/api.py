@@ -110,11 +110,24 @@ def omop2owl(
     )
     spark = spark or get_spark(master=master)
     report = run_pipeline(spark, cfg)
+    # the reference's primary artifact is the RDF/XML .owl
+    # (omop2owl_vocab.py:444); emitted directly from the triple table
+    from omop2owl_vocab_spark.operators.owl import write_owl_rdfxml
+    from omop2owl_vocab_spark.plans.pipeline import ONTOLOGY_IRI_FMT
+
+    triples = spark.read.parquet(report["output"])
+    owl_path = os.path.join(
+        outdir, merged_artifact_name(ontology_id, cfg.vocabs, "owl")
+    )
+    report["owl"] = owl_path
+    report["owl_classes"] = write_owl_rdfxml(
+        triples, owl_path, ontology_iri=ONTOLOGY_IRI_FMT.format(ontology_id)
+    )
     if not skip_semsql:
         db_path = os.path.join(
             outdir, merged_artifact_name(ontology_id, cfg.vocabs, "db")
         )
-        rows = write_semsql_sqlite(spark.read.parquet(report["output"]), db_path)
+        rows = write_semsql_sqlite(triples, db_path)
         report["semsql"] = db_path
         report["semsql_rows"] = rows
     return report

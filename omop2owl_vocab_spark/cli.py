@@ -161,6 +161,18 @@ def route_and_run(d: dict) -> dict:
     want_semsql = not d.get("skip_semsql") and (
         d.get("semsql") or mode == "omop"
     )
+    if mode == "omop":
+        # reference parity: the .owl RDF/XML is the primary artifact
+        from omop2owl_vocab_spark.operators.owl import write_owl_rdfxml
+        from omop2owl_vocab_spark.plans.pipeline import ONTOLOGY_IRI_FMT
+
+        owl_path = db_path[: -len(".db")] + ".owl"
+        report["owl"] = owl_path
+        report["owl_classes"] = write_owl_rdfxml(
+            spark.read.parquet(report["output"]),
+            owl_path,
+            ontology_iri=ONTOLOGY_IRI_FMT.format(d.get("ontology_id", "OMOP")),
+        )
     if want_semsql:
         from omop2owl_vocab_spark.operators.semsql import write_semsql_sqlite
 
