@@ -228,23 +228,49 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 """
 
 
+# every sanitizer rule except \t\n (covered by the byte-exact unit test;
+# kept out of the oracle payload so the driver harness never sees control
+# chars inside values) — injected between p_type and p_brand so the oracle
+# exercises the FULL rule chain, not just the 4 chars TPC-H data contains
+_SANITIZE_STRESS = " ,|;/\\~`!@#$%^*+=?'\"()[]{}<>"
+
+
 def _kg_sanitize(spark, sf_dir):
     from omop2owl_vocab_spark.functions.sanitize import sanitize_predicate_col
 
     part = _t(spark, sf_dir, "part")
     raw = F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand"))
+    stress = F.concat(F.col("p_type"), F.lit(_SANITIZE_STRESS), F.col("p_brand"))
     return part.select(
         raw.alias("rel"),
         F.concat(F.lit("omoprel:"), sanitize_predicate_col(raw)).alias("pred"),
+        F.concat(
+            F.lit("omoprel:"), sanitize_predicate_col(stress)
+        ).alias("pred_stress"),
     ).distinct()
 
 
-_KG_SANITIZE_SQL = """
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _build_kg_sanitize_sql() -> str:
+    # the oracle runs the reference's whole 30-rule chain as one translate,
+    # exactly like the engine (functions/sanitize.py)
+    from omop2owl_vocab_spark.functions.sanitize import _FROM, _TO
+
+    frm, to = _sql_quote(_FROM), _sql_quote(_TO)
+    stress = _sql_quote(_SANITIZE_STRESS)
+    return f"""
 SELECT DISTINCT p_type || '/' || p_brand AS rel,
-       'omoprel:' || replace(replace(replace(replace(p_type || '/' || p_brand,
-            ' ', '_'), ',', '_'), '/', '.'), '#', '-') AS pred
+       'omoprel:' || translate(p_type || '/' || p_brand, {frm}, {to}) AS pred,
+       'omoprel:' || translate(p_type || {stress} || p_brand, {frm}, {to})
+         AS pred_stress
 FROM part
 """
+
+
+_KG_SANITIZE_SQL = _build_kg_sanitize_sql()
 
 
 def _kg_adjacency(spark, sf_dir):
@@ -623,8 +649,11 @@ s AS (
   ) WHERE shingle <> ''
 ),
 mh AS (
+  -- element i = 64-bit half (i % 2) of md5(f"{i//2}:{shingle}") — mirrors
+  -- minhash_signatures' two-elements-per-digest scheme exactly
   SELECT id, r.i AS i,
-         MIN(substr(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+         MIN(substr(md5(CAST(r.i // 2 AS VARCHAR) || ':' || shingle),
+                    1 + 16 * (r.i % 2), 16)) AS mh
   FROM s CROSS JOIN range(32) r(i)
   GROUP BY id, r.i
 ),

@@ -69,22 +69,28 @@ def minhash_signatures(
     hash_family:
       - ``xxhash64`` (default, production path): seeded JVM xxhash64,
         whole-stage codegen, array<bigint> signature — fastest.
-      - ``md5``: engine-portable signature — element i is the first 16 hex
-        chars of md5(f"{i}:{shingle}") and MIN is taken over the hex string
-        (lexicographic order on fixed-width lowercase hex == numeric order
-        on the unsigned value), so an external ANSI-SQL engine (the DuckDB
-        correctness oracle) reproduces signatures bit-for-bit.
+      - ``md5``: engine-portable signature — element i is a 16-hex-char
+        (64-bit) slice of md5(f"{i//2}:{shingle}"): the digest's 128 bits
+        yield TWO signature elements (halves the md5 calls, the dominant
+        cost), and MIN is taken over the hex string (lexicographic order on
+        fixed-width lowercase hex == numeric order on the unsigned value),
+        so an external ANSI-SQL engine (the DuckDB correctness oracle)
+        reproduces signatures bit-for-bit.
     """
     if hash_family == "xxhash64":
         hashes = F.array(
             *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
         )
     elif hash_family == "md5":
+        # one digest per PAIR of elements; Catalyst CSE collapses the two
+        # references to the same md5() call inside codegen
+        digests = [
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))
+            for j in range((num_hashes + 1) // 2)
+        ]
         hashes = F.array(
             *[
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16
-                )
+                F.substring(digests[i // 2], 1 + 16 * (i % 2), 16)
                 for i in range(num_hashes)
             ]
         )
