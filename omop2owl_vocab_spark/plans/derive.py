@@ -47,9 +47,17 @@ def _dir_concept_id(repo: F.Column, dirpath: F.Column) -> F.Column:
     return F.abs(F.xxhash64(repo, dirpath, F.lit("dir"))).cast("string")
 
 
-def derive_file_concepts(code_files: DataFrame) -> DataFrame:
-    """File-row concepts only — stateless (streaming-safe)."""
-    return code_files.select(
+def derive_file_concepts(
+    code_files: DataFrame, with_import_toks: bool = False
+) -> DataFrame:
+    """File-row concepts only — stateless (streaming-safe).
+
+    ``with_import_toks=True`` adds an ``import_toks`` array column (the
+    per-file import tokens) extracted in the SAME projection as the
+    sha256 — so ``content``, the dominant column at 100 TB, is scanned
+    exactly once for the whole pipeline (edges then derive from the
+    concepts checkpoint with zero further content reads)."""
+    cols = [
         _file_concept_id().alias("concept_id"),
         F.element_at(F.split(F.col("path"), "/"), -1).alias("concept_name"),
         F.col("repo").alias("domain_id"),
@@ -60,16 +68,25 @@ def derive_file_concepts(code_files: DataFrame) -> DataFrame:
         F.lit("").alias("valid_start_date"),
         F.lit("").alias("valid_end_date"),
         F.lit("").alias("invalid_reason"),
-        F.sha2(F.col("content"), 256).alias("src_sha256"),
-    )
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("src_sha256"),
+    ]
+    if with_import_toks:
+        cols.append(
+            F.regexp_extract_all(
+                F.coalesce(F.col("content"), F.lit("")), F.lit(_IMPORT_RE), 1
+            ).alias("import_toks")
+        )
+    return code_files.select(*cols)
 
 
-def derive_concepts(code_files: DataFrame) -> DataFrame:
+def derive_concepts(
+    code_files: DataFrame, with_import_toks: bool = False
+) -> DataFrame:
     """File concepts ∪ synthesized directory concepts (batch path).
 
     Directory concepts need a global ``distinct`` (stateful), so the
     streaming path uses :func:`derive_file_concepts` only."""
-    files = derive_file_concepts(code_files)
+    files = derive_file_concepts(code_files, with_import_toks=with_import_toks)
     dirs = _dir_paths(code_files).select(
         _dir_concept_id(F.col("repo"), F.col("dirpath")).alias("concept_id"),
         F.element_at(F.split(F.col("dirpath"), "/"), -1).alias("concept_name"),
@@ -83,6 +100,10 @@ def derive_concepts(code_files: DataFrame) -> DataFrame:
         F.lit("").alias("invalid_reason"),
         F.lit("").alias("src_sha256"),
     )
+    if with_import_toks:
+        dirs = dirs.withColumn(
+            "import_toks", F.array().cast("array<string>")
+        )
     return files.unionByName(dirs)
 
 
@@ -115,16 +136,102 @@ def _edge(c1: F.Column, c2: F.Column, rel: str) -> list[F.Column]:
     ]
 
 
+def derive_edges_from_concepts(concepts: DataFrame) -> DataFrame:
+    """Containment ∪ same-sha 'Maps to' ∪ import edges, derived ENTIRELY
+    from a concepts frame that carries ``import_toks`` — zero reads of the
+    source ``content`` column.
+
+    This is the scale path: with ``derive_concepts(code,
+    with_import_toks=True)`` checkpointed as s1, the 100 TB ``content``
+    column is scanned exactly once per pipeline run; every edge family
+    below works off the (narrow) checkpoint.  File rows are the ones with
+    a non-empty ``src_sha256``; directory rows (synthesized, sha='')
+    re-derive their ids from (domain_id, concept_code) with the same
+    ``_dir_concept_id`` hash.
+    """
+    files = concepts.filter(F.col("src_sha256") != "").select(
+        F.col("concept_id").alias("cid"),
+        F.col("domain_id").alias("repo"),
+        F.col("concept_code").alias("path"),
+        "src_sha256",
+        "import_toks",
+    )
+    repo = F.col("repo")
+
+    # file → immediate parent directory
+    parent_dir = F.expr(
+        "array_join(slice(split(path, '/'), 1, size(split(path, '/')) - 1), '/')"
+    )
+    file_contain = files.filter(F.size(F.split(F.col("path"), "/")) > 1).select(
+        *_edge(F.col("cid"), _dir_concept_id(repo, parent_dir), "Is a")
+    )
+
+    # dir → parent dir (dir concept rows already exist — no re-distinct)
+    dirs = concepts.filter(
+        (F.col("src_sha256") == "") & (F.col("concept_class_id") == "dir")
+    ).select(
+        F.col("concept_id").alias("cid"),
+        F.col("domain_id").alias("repo"),
+        F.col("concept_code").alias("dirpath"),
+    )
+    dir_parent = F.expr(
+        "array_join(slice(split(dirpath, '/'), 1, size(split(dirpath, '/')) - 1), '/')"
+    )
+    dir_contain = dirs.filter(
+        F.size(F.split(F.col("dirpath"), "/")) > 1
+    ).select(*_edge(F.col("cid"), _dir_concept_id(repo, dir_parent), "Is a"))
+
+    # same-content equivalence: star to the group min (CC-friendly, no k²)
+    hubs = files.groupBy("src_sha256").agg(
+        F.min("cid").alias("hub"), F.count("*").alias("n")
+    ).filter(F.col("n") > 1)
+    maps_to = (
+        files.join(hubs, "src_sha256")
+        .filter(F.col("cid") != F.col("hub"))
+        .select(*_edge(F.col("cid"), F.col("hub"), "Maps to"))
+    )
+
+    # imports: token → (repo, pkg.stem) equi-join against module stems
+    imports = files.select(
+        F.col("cid").alias("src_cid"),
+        repo.alias("r"),
+        F.explode("import_toks").alias("tok"),
+    )
+    parts_t = F.split(F.col("path"), "/")
+    targets = files.filter(F.size(parts_t) >= 2).select(
+        F.col("cid").alias("dst_cid"),
+        repo.alias("r"),
+        F.concat(
+            F.element_at(parts_t, -2),
+            F.lit("."),
+            F.regexp_replace(F.element_at(parts_t, -1), r"\.[^.]+$", ""),
+        ).alias("tok"),
+    )
+    import_edges = (
+        imports.join(targets, ["r", "tok"])
+        .filter(F.col("src_cid") != F.col("dst_cid"))
+        .select(*_edge(F.col("src_cid"), F.col("dst_cid"), "imports"))
+    )
+
+    return file_contain.unionByName(dir_contain).unionByName(maps_to).unionByName(
+        import_edges
+    )
+
+
 def derive_edges(
     code_files: DataFrame, concepts: DataFrame | None = None
 ) -> DataFrame:
     """Containment ∪ same-sha 'Maps to' ∪ import edges.
 
-    Pass the already-derived ``concepts`` frame to reuse its ``src_sha256``
+    When ``concepts`` carries ``import_toks`` (derive_concepts with
+    ``with_import_toks=True``) the whole derivation runs off the concepts
+    frame via :func:`derive_edges_from_concepts` — no content re-read at
+    all.  Otherwise, pass ``concepts`` to at least reuse its ``src_sha256``
     for the Maps-to groups — skips one full re-read + re-hash of the
-    ``content`` column (the widest column in the source; at 100 TB this is
-    the difference between scanning content twice and once in this stage).
+    ``content`` column.
     """
+    if concepts is not None and "import_toks" in concepts.columns:
+        return derive_edges_from_concepts(concepts)
     repo = F.col("repo")
 
     # file → immediate parent directory

@@ -96,6 +96,10 @@ class PipelineConfig:
     def key_s1(self) -> dict:
         return {
             "stage": "s1",
+            # v2: concepts carry import_toks; edges derive from the
+            # checkpoint (single content scan).  Bump invalidates v1
+            # checkpoints that lack the column.
+            "s1_version": 2,
             "source": self.source,
             "mode": self.mode,
             "concept_relationship_path": self.concept_relationship_path,
@@ -126,8 +130,13 @@ def _load_inputs(
 ) -> tuple[DataFrame, DataFrame]:
     if cfg.mode == "code":
         code = read_code_files(spark, cfg.source)
+        # single content scan for the whole run: concepts carry the
+        # per-file import tokens, and the edge stage derives everything
+        # from this checkpoint (derive_edges_from_concepts) — the 100 TB
+        # content column is never read a second time
         concepts, _ = ckpt.get_or_compute(
-            spark, "s1_concepts", lambda: derive_concepts(code),
+            spark, "s1_concepts",
+            lambda: derive_concepts(code, with_import_toks=True),
             lineage_col="vocabulary_id", resume=cfg.resume,
             bucket_col="concept_id", bucket_count=cfg.bucket_count,
         )

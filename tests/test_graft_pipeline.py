@@ -96,3 +96,20 @@ def test_resume_skips_stages(spark, pipeline_out):
     }
     assert all(cached.values()), cached
     assert spark.read.parquet(f"{out}/triples").count() == n1
+
+
+def test_single_scan_edges_equal_legacy(spark):
+    """derive_edges_from_concepts (single content scan) must produce the
+    exact edge set of the legacy two-scan derivation."""
+    from omop2owl_vocab_spark.plans.derive import derive_concepts, derive_edges
+    from omop2owl_vocab_spark.sources.synth import synth_code_files
+
+    code = synth_code_files(spark, 3000)
+    legacy = derive_edges(code, concepts=derive_concepts(code))
+    fused = derive_edges(
+        code, concepts=derive_concepts(code, with_import_toks=True)
+    )
+    assert fused.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(fused).count() == 0
+    n = fused.count()
+    assert n == legacy.count() > 0
