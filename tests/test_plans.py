@@ -95,3 +95,24 @@ def test_output_partition_pruning(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(vocabulary_id" in plan
     assert "(vocabulary_id#" in plan and "= python)" in plan.replace("  ", " ")
+
+
+def test_edge_stage_never_rereads_content(spark, tmp_path):
+    """Single-content-scan property: with the token-carrying concepts
+    checkpoint, the edge derivation's physical plan must not read the
+    code_files source at all — only the (narrow) checkpoint parquet."""
+    from omop2owl_vocab_spark.plans.derive import derive_concepts, derive_edges
+    from omop2owl_vocab_spark.sources.synth import synth_code_files
+
+    src = str(tmp_path / "code_files")
+    ckpt = str(tmp_path / "s1_concepts")
+    synth_code_files(spark, 500).write.parquet(src)
+    code = spark.read.parquet(src)
+    derive_concepts(code, with_import_toks=True).write.parquet(ckpt)
+    concepts = spark.read.parquet(ckpt)
+
+    edges = derive_edges(code, concepts=concepts)
+    plan = _plan(edges)
+    assert "code_files" not in plan  # zero scans of the source table
+    assert "content" not in plan  # the wide column never enters any scan
+    assert edges.count() > 0
