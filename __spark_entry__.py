@@ -943,6 +943,138 @@ FROM s WHERE cos IS NOT NULL AND cos >= 0.3
 """
 
 
+def _dd_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD'03) — k-gram hashes + per-window
+    minima; guarantees shared substrings ≥ k+w−1 share a fingerprint.
+
+    Driver query runs a deterministic 20% doc sample (doc_id % 5 = 0):
+    the algorithm is O(corpus chars) md5 calls — linear and embarrassingly
+    parallel (the 100 TB posture is fine) but hex-md5-per-position is
+    deliberately the portable-oracle variant, so the bench entry is
+    bounded the same way sim_near_dup_exact bounds its query side."""
+    from omop2owl_vocab_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # the testdata parquet is a single row-group (1 scan partition); the
+    # per-char hashing is the heavy stage, so spread it first
+    return winnow_fingerprints(docs.repartition(64), k=16, window=8)
+
+
+_WINNOW_FP_CTE = """
+WITH t AS (
+  SELECT doc_id AS id,
+         lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) AS s
+  FROM documents WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT id,
+         list_transform(range(1, greatest(len(s) - 16 + 1, 0) + 1),
+                        i -> substr(md5(substr(s, CAST(i AS INTEGER), 16)), 1, 16)) AS hs
+  FROM t
+),
+w AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, len(hs) - 8 + 1 + 1),
+             j -> list_aggregate(hs[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)], 'min'))) AS fps
+  FROM g WHERE len(hs) >= 8
+),
+fp AS (SELECT DISTINCT id, unnest(fps) AS fp FROM w)
+"""
+
+_DD_WINNOW_SQL = _WINNOW_FP_CTE + """
+SELECT id, fp FROM fp
+"""
+
+
+def _dd_winnow_pairs(spark, sf_dir):
+    from omop2owl_vocab_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    fps = winnow_fingerprints(docs.repartition(64), k=16, window=8)
+    return winnow_near_duplicates(fps, min_shared=3, max_postings=50)
+
+
+_DD_WINNOW_PAIRS_SQL = _WINNOW_FP_CTE + """,
+rare AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS postings FROM fp GROUP BY fp)
+  WHERE postings <= 50
+),
+kept AS (SELECT f.id, f.fp FROM fp f JOIN rare USING (fp))
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id HAVING COUNT(*) >= 3
+"""
+
+
+def _q_window_rank(spark, sf_dir):
+    """Dense window-function coverage beyond row_number: rank orders per
+    customer by price."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rnk",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_e2"),
+        )
+    )
+
+
+_Q_WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _q_rollup(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP) — subtotals per (returnflag,
+    linestatus), per returnflag, and grand total, NULL-marked like SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.floor(F.sum("l_quantity") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("sum_qty_e2"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty_e2",
+        )
+    )
+
+
+_Q_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       COUNT(*) AS n_rows,
+       CAST(floor(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------- LSH family (md5-portable hashing → exact oracles)
 
 
@@ -1148,12 +1280,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_first_order": _q_first_order,
         "q_event_windows": _q_event_windows,
         "q_sessionize": _q_sessionize,
+        "q_window_rank": _q_window_rank,
+        "q_rollup": _q_rollup,
         # training-data pipeline ops
         "dd_exact": _dd_exact,
         "dd_jaccard": _dd_jaccard,
         "dd_minhash_lsh": _dd_minhash_lsh,
         "dd_minhash_verified": _dd_minhash_verified,
         "dd_simhash": _dd_simhash,
+        "dd_winnow": _dd_winnow,
+        "dd_winnow_pairs": _dd_winnow_pairs,
         "txt_corpus_stats": _txt_corpus_stats,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
@@ -1187,6 +1323,8 @@ def oracle_sql() -> dict[str, str]:
         "q_first_order": _Q_FIRST_ORDER_SQL,
         "q_event_windows": _Q_EVENT_WINDOWS_SQL,
         "q_sessionize": _Q_SESSIONIZE_SQL,
+        "q_window_rank": _Q_WINDOW_RANK_SQL,
+        "q_rollup": _Q_ROLLUP_SQL,
         "dd_exact": _DD_EXACT_SQL,
         "dd_jaccard": _DD_JACCARD_SQL,
         "txt_corpus_stats": _TXT_CORPUS_STATS_SQL,
@@ -1203,6 +1341,8 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_lsh": _DD_MINHASH_LSH_SQL,
         "dd_minhash_verified": _DD_MINHASH_VERIFIED_SQL,
         "dd_simhash": _DD_SIMHASH_SQL,
+        "dd_winnow": _DD_WINNOW_SQL,
+        "dd_winnow_pairs": _DD_WINNOW_PAIRS_SQL,
         "sim_ann_bucketed": _SIM_ANN_BUCKETED_SQL,
         "mm_features": _MM_FEATURES_SQL,
     }

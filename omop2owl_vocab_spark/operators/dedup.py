@@ -269,6 +269,92 @@ def jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS scheme): hash every character k-gram of the whitespace-normalized
+    text, slide a window of ``window`` consecutive k-gram hashes, keep each
+    window's minimum.  Guarantees any shared substring of length
+    ≥ k + window − 1 yields a shared fingerprint.
+
+    Output: (id, fp) distinct rows.  Everything is one JVM projection —
+    ``transform(sequence(...))`` array ops, no explode of per-character
+    rows, no shuffle before the final distinct.  ``hash_family='md5'``
+    (default) is the engine-portable variant the DuckDB oracle reproduces
+    exactly; ``'xxhash64'`` is the faster production variant (bigint fps).
+    Docs shorter than k + window − 1 produce no fingerprints (standard).
+    """
+    if hash_family == "md5":
+        def _h(sub):
+            return F.substring(F.md5(sub), 1, 16)
+    elif hash_family == "xxhash64":
+        def _h(sub):
+            return F.xxhash64(sub)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    norm = F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    d = df.select(F.col(id_col).alias("id"), norm.alias("s"))
+    m = F.length(F.col("s")) - k + 1  # k-gram count
+    hs = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: _h(F.col("s").substr(i + 1, F.lit(k))),
+    )
+    empty_t = "array<string>" if hash_family == "md5" else "array<bigint>"
+    d = d.select("id", F.when(m >= window, hs).otherwise(
+        F.array().cast(empty_t)
+    ).alias("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - window),
+            lambda j: F.array_min(F.slice(F.col("hs"), j + 1, window)),
+        )
+    )
+    return (
+        d.filter(F.size("hs") >= window)
+        .select("id", F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_near_duplicates(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    max_postings: int | None = 1000,
+) -> DataFrame:
+    """Pairs sharing ≥ ``min_shared`` winnowed fingerprints — the standard
+    inverted-index join (linear in corpus + shared-fp mass, never n²).
+    Output (id_a, id_b, shared).
+
+    ``max_postings`` drops fingerprints present in more than that many
+    docs before the join — MOSS's own "ignore fingerprints in too many
+    documents" rule.  Same scale rationale as the LSH bucket cap: one
+    boilerplate fingerprint shared by 10⁶ docs is 10¹² pairs on a single
+    key; a fingerprint that common carries no near-dup signal anyway.
+    """
+    if max_postings is not None:
+        rare = (
+            fingerprints.groupBy("fp")
+            .agg(F.count("*").alias("postings"))
+            .filter(F.col("postings") <= max_postings)
+            .drop("postings")
+        )
+        fingerprints = fingerprints.join(rare, "fp", "left_semi")
+    a, b = fingerprints.alias("a"), fingerprints.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -248,3 +248,66 @@ def test_multimodal_long_form_matches_array_form(spark, docs):
         for b in range(16):
             assert abs(bins[b] - round(arr[mid]["features"][b] * 1e6)) <= 1
         assert abs(sum(bins.values()) - 1_000_000) <= 16  # rounding slack
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    ≥ k + w − 1 share at least one fingerprint; disjoint docs share none."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        Row(doc_id=1, text="AAA " + shared + " one tail here"),
+        Row(doc_id=2, text="BBB prefix words " + shared + " zz"),
+        Row(doc_id=3, text="completely unrelated content with nothing equal"),
+    ]
+    docs = spark.createDataFrame(rows)
+    fps = D.winnow_fingerprints(docs, k=8, window=4)
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert by_id[1] & by_id[2]           # shared substring → shared fp
+    assert not (by_id[1] & by_id[3])     # disjoint → none
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in D.winnow_near_duplicates(fps, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_winnow_families_agree_on_structure(spark):
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta iota"),
+        Row(doc_id=3, text="unrelated words that share no phrases at all"),
+    ]
+    docs = spark.createDataFrame(rows)
+    for fam in ("md5", "xxhash64"):
+        fps = D.winnow_fingerprints(docs, k=8, window=4, hash_family=fam)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.winnow_near_duplicates(fps, min_shared=2).collect()
+        }
+        assert (1, 2) in pairs, fam
+        assert (1, 3) not in pairs, fam
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """A fingerprint present in every doc (boilerplate) is dropped by
+    max_postings before the pair join — candidates stay linear."""
+    boiler = "standard corporate header line repeated everywhere always"
+    rows = [
+        Row(doc_id=i, text=boiler + f" unique tail number {i} suffix")
+        for i in range(1, 31)
+    ]
+    docs = spark.createDataFrame(rows)
+    fps = D.winnow_fingerprints(docs, k=8, window=4)
+    uncapped = D.winnow_near_duplicates(fps, min_shared=1, max_postings=None)
+    capped = D.winnow_near_duplicates(fps, min_shared=1, max_postings=10)
+    assert uncapped.count() == 30 * 29 / 2   # boilerplate pairs everyone
+    # the boilerplate clique collapses; only small digit-pattern groups
+    # (≤10 postings, e.g. 'number 1…' ⊂ 'number 1N…') survive
+    assert capped.count() <= 50
+
+
+def test_winnow_short_docs_no_fps(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="tiny")])
+    assert D.winnow_fingerprints(docs, k=8, window=4).count() == 0
