@@ -276,6 +276,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "md5",
+    chunk_chars: int = 4096,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     MOSS scheme): hash every character k-gram of the whitespace-normalized
@@ -300,7 +301,29 @@ def winnow_fingerprints(
         raise ValueError(f"unknown hash_family {hash_family!r}")
     norm = F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
     d = df.select(F.col(id_col).alias("id"), norm.alias("s"))
-    m = F.length(F.col("s")) - k + 1  # k-gram count
+    # Bound per-row memory: a 1 MB doc would otherwise materialize a
+    # ~10⁶-element hash array in one row.  Chunk with an overlap of
+    # k + window − 2 chars — every window of `window` consecutive k-grams
+    # (char span k + window − 1) then lies fully inside some chunk, each
+    # window's minimum is computed on identical hashes, and the union of
+    # per-chunk selections is EXACTLY the unchunked fingerprint set
+    # (equivalence pinned in tests).
+    overlap = k + window - 2
+    n_chunks_minus1 = F.floor(
+        F.greatest(F.length("s") - 1, F.lit(0)) / chunk_chars
+    ).cast("int")
+    d = d.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks_minus1),
+                lambda j: F.col("s").substr(
+                    j * chunk_chars + 1, F.lit(chunk_chars + overlap)
+                ),
+            )
+        ).alias("s"),
+    )
+    m = F.length(F.col("s")) - k + 1  # k-gram count per chunk
     hs = F.transform(
         F.sequence(F.lit(0), m - 1),
         lambda i: _h(F.col("s").substr(i + 1, F.lit(k))),

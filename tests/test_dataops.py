@@ -311,3 +311,25 @@ def test_winnow_hot_fingerprint_cap(spark):
 def test_winnow_short_docs_no_fps(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="tiny")])
     assert D.winnow_fingerprints(docs, k=8, window=4).count() == 0
+
+
+def test_winnow_chunking_is_exact(spark):
+    """Overlap-chunked winnowing must produce EXACTLY the unchunked
+    fingerprint set (overlap k+w-2 keeps every window intact)."""
+    rows = [
+        Row(doc_id=1, text=" ".join(f"word{i % 17} tok{i % 7}" for i in range(120))),
+        Row(doc_id=2, text="short doc here"),
+        Row(doc_id=3, text="x" * 250),
+    ]
+    docs = spark.createDataFrame(rows)
+    big = {
+        (r["id"], r["fp"])
+        for r in D.winnow_fingerprints(docs, k=8, window=4,
+                                       chunk_chars=10**6).collect()
+    }
+    small = {
+        (r["id"], r["fp"])
+        for r in D.winnow_fingerprints(docs, k=8, window=4,
+                                       chunk_chars=37).collect()
+    }
+    assert small == big and big
