@@ -1215,6 +1215,67 @@ FROM r WHERE rank <= 10
 """
 
 
+def _sim_ivf_topk(spark, sf_dir):
+    """IVF-probed ANN (second scale path next to hyperplane LSH): corpus
+    vectors in nearest-centroid inverted lists, queries probe their 2
+    nearest of 16 deterministic centroids.  Squared-L2 assignment is an
+    ordered left fold → bit-identical to the DuckDB list_reduce oracle."""
+    from omop2owl_vocab_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        centroids=emb.filter(F.col("vec_id") < 16),
+        k=10,
+        nprobe=2,
+    )
+
+
+_SIM_IVF_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 16),
+d AS (
+  SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65),
+                 j -> (e.v[j] - c.cvec[j]) * (e.v[j] - c.cvec[j]))),
+             (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN c
+),
+ranked AS (
+  SELECT id, vec, centroid_id,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY d2 ASC, centroid_id ASC) AS pr
+  FROM d
+),
+cl AS (SELECT id AS neighbor_id, vec AS cv, centroid_id
+       FROM ranked WHERE pr = 1),
+ql AS (SELECT id AS query_id, vec AS qv, centroid_id
+       FROM ranked WHERE pr <= 2 AND id < 5),
+s AS (
+  SELECT ql.query_id, cl.neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv)) > 0
+              THEN list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv)))
+         END AS cos
+  FROM cl JOIN ql USING (centroid_id)
+  WHERE ql.query_id <> cl.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s WHERE cos IS NOT NULL
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM r WHERE rank <= 10
+"""
+
+
 def _mm_features(spark, sf_dir):
     from omop2owl_vocab_spark.operators.multimodal import (
         extract_features_long,
@@ -1299,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
         "sim_ann_bucketed": _sim_ann_bucketed,
+        "sim_ivf_topk": _sim_ivf_topk,
         "mm_features": _mm_features,
     }
 
@@ -1344,5 +1406,6 @@ def oracle_sql() -> dict[str, str]:
         "dd_winnow": _DD_WINNOW_SQL,
         "dd_winnow_pairs": _DD_WINNOW_PAIRS_SQL,
         "sim_ann_bucketed": _SIM_ANN_BUCKETED_SQL,
+        "sim_ivf_topk": _SIM_IVF_TOPK_SQL,
         "mm_features": _MM_FEATURES_SQL,
     }

@@ -333,3 +333,43 @@ def test_winnow_chunking_is_exact(spark):
                                        chunk_chars=37).collect()
     }
     assert small == big and big
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing ALL inverted lists must reproduce exact cosine top-k —
+    every corpus vector sits in exactly one probed list."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_e4"])
+        for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_e4"])
+        for r in S.ivf_topk(emb, queries, cents, k=10, nprobe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_probe_recall(spark):
+    """nprobe=2 of 16 lists scans ~1/8 of the corpus; recall must beat
+    the random-scan baseline and rise with nprobe."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < 16)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, queries, cents, k=10, nprobe=nprobe).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2
+    assert r8 >= 0.4
