@@ -77,7 +77,6 @@ def omop2owl(
     reference's per-concept emission) and True in code mode (the
     Maps-to equivalence merge is part of the KG pipeline there).
     """
-    from omop2owl_vocab_spark.operators.semsql import write_semsql_sqlite
     from omop2owl_vocab_spark.plans.pipeline import PipelineConfig, run_pipeline
     from omop2owl_vocab_spark.session import get_spark
 
@@ -110,24 +109,45 @@ def omop2owl(
     )
     spark = spark or get_spark(master=master)
     report = run_pipeline(spark, cfg)
-    # the reference's primary artifact is the RDF/XML .owl
-    # (omop2owl_vocab.py:444); emitted directly from the triple table
+    if mode == "omop":
+        # reference artifacts are compat-scale, omop-mode only — in code
+        # mode the queryable output is the partitioned triple table, and a
+        # driver-streamed single-file .owl/.db at corpus scale would be an
+        # accident, not a feature
+        emit_reference_artifacts(
+            spark, report, outdir, ontology_id, cfg.vocabs,
+            skip_semsql=skip_semsql,
+        )
+    return report
+
+
+def emit_reference_artifacts(
+    spark: SparkSession,
+    report: dict,
+    outdir: str,
+    ontology_id: str,
+    vocabs: list[str],
+    skip_semsql: bool = False,
+) -> dict:
+    """Shared by the library adapter and the CLI: write the reference's
+    two artifacts next to the triples — the RDF/XML ``.owl``
+    (omop2owl_vocab.py:444, the primary artifact) and, unless
+    ``skip_semsql``, the SemanticSQL ``.db`` — both named by the
+    reference's rule.  Mutates and returns ``report``."""
     from omop2owl_vocab_spark.operators.owl import write_owl_rdfxml
+    from omop2owl_vocab_spark.operators.semsql import write_semsql_sqlite
     from omop2owl_vocab_spark.plans.pipeline import ONTOLOGY_IRI_FMT
 
     triples = spark.read.parquet(report["output"])
-    owl_path = os.path.join(
-        outdir, merged_artifact_name(ontology_id, cfg.vocabs, "owl")
-    )
+    owl_path = os.path.join(outdir, merged_artifact_name(ontology_id, vocabs, "owl"))
     report["owl"] = owl_path
     report["owl_classes"] = write_owl_rdfxml(
         triples, owl_path, ontology_iri=ONTOLOGY_IRI_FMT.format(ontology_id)
     )
     if not skip_semsql:
         db_path = os.path.join(
-            outdir, merged_artifact_name(ontology_id, cfg.vocabs, "db")
+            outdir, merged_artifact_name(ontology_id, vocabs, "db")
         )
-        rows = write_semsql_sqlite(triples, db_path)
         report["semsql"] = db_path
-        report["semsql_rows"] = rows
+        report["semsql_rows"] = write_semsql_sqlite(triples, db_path)
     return report

@@ -162,18 +162,17 @@ def route_and_run(d: dict) -> dict:
         d.get("semsql") or mode == "omop"
     )
     if mode == "omop":
-        # reference parity: the .owl RDF/XML is the primary artifact
-        from omop2owl_vocab_spark.operators.owl import write_owl_rdfxml
-        from omop2owl_vocab_spark.plans.pipeline import ONTOLOGY_IRI_FMT
+        # reference parity: .owl always, .db unless -S (shared helper with
+        # the omop2owl() library adapter)
+        from omop2owl_vocab_spark.api import emit_reference_artifacts
 
-        owl_path = db_path[: -len(".db")] + ".owl"
-        report["owl"] = owl_path
-        report["owl_classes"] = write_owl_rdfxml(
-            spark.read.parquet(report["output"]),
-            owl_path,
-            ontology_iri=ONTOLOGY_IRI_FMT.format(d.get("ontology_id", "OMOP")),
+        emit_reference_artifacts(
+            spark, report, d["outdir"], d.get("ontology_id", "OMOP"),
+            vocabs, skip_semsql=bool(d.get("skip_semsql")),
         )
-    if want_semsql:
+    elif want_semsql:
+        # code mode: the .db is opt-in (--semsql); no driver-streamed .owl
+        # at corpus scale
         from omop2owl_vocab_spark.operators.semsql import write_semsql_sqlite
 
         rows = write_semsql_sqlite(spark.read.parquet(report["output"]), db_path)

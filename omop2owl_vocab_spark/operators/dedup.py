@@ -395,9 +395,16 @@ def simhash_signatures(
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
+        import re
         from collections import Counter
 
         import numpy as np
+
+        # tokenize EXACTLY like the SQL oracle's string_split_regex(\s+):
+        # RE2's \s is the ASCII class [\t\n\f\r ] — python str.split()
+        # would also split on Unicode whitespace (U+00A0 etc.) and silently
+        # diverge on non-ASCII corpora
+        ws = re.compile(r"[ \t\n\f\r]+")
 
         # per-batch token→±1-bit-vector cache: corpora repeat tokens heavily,
         # so hashing each distinct token once dominates the constant factor
@@ -422,7 +429,8 @@ def simhash_signatures(
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             votes = np.zeros(64, dtype=np.int64)
-            for tok, cnt in Counter((t or "").lower().split()).items():
+            toks = (x for x in ws.split((t or "").lower()) if x)
+            for tok, cnt in Counter(toks).items():
                 votes += cnt * tok_bits(tok)
             sig = int((powers[votes > 0]).sum(dtype=np.uint64))
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig

@@ -36,15 +36,29 @@ def connected_components(
     Input edges need not be symmetric or deduplicated.
 
     ``checkpoint_dir``: when set, per-round lineage truncation uses
-    RELIABLE checkpoints into that directory (HDFS/S3/shared fs) via
-    ``setCheckpointDir`` + ``DataFrame.checkpoint``.  Default (None) uses
-    ``localCheckpoint`` — fine on local[*] and fastest, but executor-local
-    blocks are LOST under executor failure or dynamic deallocation on a
-    real cluster, killing a long CC run; pass a directory there.
+    RELIABLE checkpoints via ``setCheckpointDir`` + ``DataFrame.checkpoint``
+    into a UNIQUE subdirectory of ``checkpoint_dir`` (HDFS/S3/shared fs).
+    Default (None) uses ``localCheckpoint`` — fine on local[*] and fastest,
+    but executor-local blocks are LOST under executor failure or dynamic
+    deallocation on a real cluster, killing a long CC run.
+
+    Spark never deletes reliable checkpoint files on its own (unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set), and the
+    returned ``labels`` frame still reads from the final round's files —
+    so the subdir path is surfaced as ``stats['checkpoint_subdir']`` and
+    the CALLER deletes it once labels are materialized elsewhere (the
+    pipeline does this right after the canon-map checkpoint lands).  Note
+    ``setCheckpointDir`` is SparkContext-global; the unique subdir keeps
+    concurrent components from interleaving files, but the last caller's
+    setting wins for anyone checkpointing without re-setting it.
     """
+    ckpt_subdir = None
     if checkpoint_dir is not None:
+        import uuid
+
+        ckpt_subdir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
         sc = edges.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(ckpt_subdir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -67,6 +81,8 @@ def connected_components(
     )
 
     stats: dict = {"rounds": 0, "changed_per_round": [], "converged": False}
+    if ckpt_subdir is not None:
+        stats["checkpoint_subdir"] = ckpt_subdir
     for rnd in range(max_iter):
         # neighbor labels: edge (a,b) sends b's label to a
         msgs = sym.join(labels, sym["b"] == labels["node"]).select(

@@ -33,15 +33,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from omop2owl_vocab_spark.functions.curie import PREFIX_MAP
+from omop2owl_vocab_spark.operators.semsql import CORE_PREFIXES
 
-_XML_NS = {
-    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
-    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
-    "owl": "http://www.w3.org/2002/07/owl#",
-    "xsd": "http://www.w3.org/2001/XMLSchema#",
-    "OMOP": PREFIX_MAP["OMOP"],
-    "omoprel": PREFIX_MAP["omoprel"],
-}
+# single prefix source of truth shared with the semsql sink — the .owl and
+# .db artifacts must resolve a CURIE to the same IRI
+_XML_NS = {**CORE_PREFIXES, **PREFIX_MAP}
 
 
 def _xml_escape(col: Column) -> Column:
@@ -125,18 +121,21 @@ def owl_class_fragments(triples: DataFrame) -> DataFrame:
 
 
 def property_declarations(triples: DataFrame) -> list[str]:
-    """ObjectProperty declarations for every omoprel predicate and
-    AnnotationProperty declarations for every OMOP:* literal predicate.
-    The distinct-predicate set is bounded by the relationship-type count
-    (~500 in full OMOP) — a driver collect is correct here."""
+    """ObjectProperty declarations for every predicate with ANY non-literal
+    use (edge fragments reference it through ``owl:onProperty``, which
+    requires an object property — declaring it annotation-only would be
+    illegal punning), AnnotationProperty for exclusively-literal
+    predicates.  The distinct-predicate set is bounded by the
+    relationship-type count (~500 in full OMOP) — a driver collect is
+    correct here."""
     preds = [
-        (r["pred"], r["is_lit"])
+        (r["pred"], r["lit_only"])
         for r in triples.groupBy("pred")
-        .agg(F.max(F.col("obj_is_literal").cast("int")).alias("is_lit"))
+        .agg(F.min(F.col("obj_is_literal").cast("int")).alias("lit_only"))
         .collect()
     ]
     decls = []
-    for pred, is_lit in sorted(preds):
+    for pred, lit_only in sorted(preds):
         if pred in ("rdf:type", "rdfs:subClassOf", "rdfs:label"):
             continue
         iri = None
@@ -145,7 +144,7 @@ def property_declarations(triples: DataFrame) -> list[str]:
                 iri = base + pred.split(":", 1)[1]
         if iri is None:
             continue
-        kind = "AnnotationProperty" if is_lit else "ObjectProperty"
+        kind = "AnnotationProperty" if lit_only else "ObjectProperty"
         decls.append(f'  <owl:{kind} rdf:about="{iri}"/>')
     return decls
 

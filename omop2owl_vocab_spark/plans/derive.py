@@ -261,9 +261,12 @@ def derive_edges(
             F.col("concept_id").alias("cid"), F.col("src_sha256").alias("sha")
         )
     else:
+        # NB: coalesce matches derive_file_concepts — NULL content is
+        # normalized to '' per the F1 null-normalize rule, so both the
+        # legacy and the single-scan path group it with empty files
         by_sha = code_files.select(
             _file_concept_id().alias("cid"),
-            F.sha2(F.col("content"), 256).alias("sha"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("sha"),
         )
     hubs = by_sha.groupBy("sha").agg(
         F.min("cid").alias("hub"), F.count("*").alias("n")

@@ -88,6 +88,10 @@ class PipelineConfig:
         d = asdict(self)
         d.pop("resume")
         d.pop("cc_checkpoint_dir")  # where lineage truncates ≠ what's computed
+        # bump whenever OUTPUT SEMANTICS change without a config change, so
+        # whole-run resume can't serve stale pre-upgrade triples (v2:
+        # sha256 over coalesced content, vocab-scoped canonicalization)
+        d["pipeline_version"] = 2
         return d
 
     # per-stage cache keys: each stage's checkpoint is invalidated only by
@@ -269,6 +273,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             spark, "s4_canon_map", _canon_map, resume=cfg.resume
         )
         report["stages"]["s4_canon_map"] = {"cached": cached}
+        # the canon map is materialized in its own checkpoint now — the
+        # CC rounds' reliable checkpoint files (never auto-deleted by
+        # Spark) are dead weight from here on
+        # (local-fs deletion; object-store deployments should point
+        # cc_checkpoint_dir at a lifecycle-ruled prefix instead)
+        cc_subdir = report["stages"].get("s4_link", {}).get("checkpoint_subdir")
+        if cc_subdir and os.path.isdir(cc_subdir):
+            import shutil
+
+            shutil.rmtree(cc_subdir, ignore_errors=True)
         try:
             canon_rows = ckpt_s4.metrics("s4_canon_map").get("rows", 0)
         except OSError:

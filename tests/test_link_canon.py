@@ -159,3 +159,48 @@ def test_vocab_scoped_canonicalization(spark, tmp_path):
     # the out-of-scope canonical
     assert "OMOP:100" in subjects
     assert "OMOP:050" not in subjects
+
+
+def test_cc_checkpoint_subdir_cleanup_via_pipeline(spark, tmp_path):
+    """Reliable CC checkpoints live in a unique per-run subdir (surfaced in
+    stats) and the pipeline deletes it once the canon map checkpoint is
+    materialized — Spark never cleans these files itself."""
+    import os
+
+    import pandas as pd
+
+    from omop2owl_vocab_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    cdir = tmp_path / "in"
+    cdir.mkdir()
+    cols = ["concept_id", "concept_name", "domain_id", "vocabulary_id",
+            "concept_class_id", "standard_concept", "concept_code",
+            "valid_start_date", "valid_end_date", "invalid_reason"]
+    pd.DataFrame(
+        [["1", "a", "D", "V", "K", "S", "1", "", "", ""],
+         ["2", "b", "D", "V", "K", "S", "2", "", "", ""]],
+        columns=cols,
+    ).to_csv(cdir / "concept.csv", index=False)
+    rcols = ["concept_id_1", "concept_id_2", "relationship_id",
+             "valid_start_date", "valid_end_date", "invalid_reason"]
+    pd.DataFrame([["2", "1", "Maps to", "", "", ""]], columns=rcols).to_csv(
+        cdir / "concept_relationship.csv", index=False
+    )
+    cc_dir = str(tmp_path / "cc_ckpt")
+    report = run_pipeline(
+        spark,
+        PipelineConfig(
+            source=str(cdir / "concept.csv"),
+            concept_relationship_path=str(cdir / "concept_relationship.csv"),
+            mode="omop", output_dir=str(tmp_path / "out"),
+            relationships=["ALL"], canonicalize=True, resume=False,
+            cc_checkpoint_dir=cc_dir,
+        ),
+    )
+    sub = report["stages"]["s4_link"]["checkpoint_subdir"]
+    assert sub.startswith(cc_dir)
+    assert not os.path.exists(sub)  # cleaned after canon-map checkpoint
+    # and the canonicalization actually happened off those checkpoints
+    subs = {r[0] for r in spark.read.parquet(report["output"])
+            .select("subj").distinct().collect()}
+    assert "OMOP:2" not in subs  # merged into OMOP:1

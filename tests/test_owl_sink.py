@@ -106,3 +106,24 @@ def test_owl_artifact_from_reference_fixture(spark, tmp_path):
     assert n == triples.select("subj").distinct().count()
     root = ET.parse(path).getroot()
     assert len(root.findall(f"{OWL}Class")) == n
+
+
+def test_mixed_use_predicate_declared_object_property(spark, tmp_path):
+    """A predicate with both literal and IRI objects must be declared
+    ObjectProperty (owl:onProperty references it), never annotation-only
+    punning."""
+    rows = [
+        Row(subj="OMOP:1", pred="rdf:type", obj="owl:Class",
+            obj_is_literal=False, vocabulary_id="V", src_sha256=""),
+        Row(subj="OMOP:1", pred="omoprel:has_part", obj="free text",
+            obj_is_literal=True, vocabulary_id="V", src_sha256=""),
+        Row(subj="OMOP:1", pred="omoprel:has_part", obj="OMOP:2",
+            obj_is_literal=False, vocabulary_id="V", src_sha256=""),
+    ]
+    path = str(tmp_path / "m.owl")
+    write_owl_rdfxml(spark.createDataFrame(rows), path)
+    root = ET.parse(path).getroot()
+    obj = {o.get(f"{RDF}about") for o in root.findall(f"{OWL}ObjectProperty")}
+    ann = {a.get(f"{RDF}about") for a in root.findall(f"{OWL}AnnotationProperty")}
+    assert f"{OMOPREL_BASE}has_part" in obj
+    assert f"{OMOPREL_BASE}has_part" not in ann
