@@ -75,3 +75,75 @@ def test_reference_own_assertions(spark):
     assert len(entities) == 100
     assert len(rel_triples) > 50
     assert len(sc) > 0
+
+
+def test_reverse_mapping_compat_closed_form(spark):
+    """'RxNorm inverse is a' (rxnorm preset path): subject/object swap with
+    the reference's asymmetric endpoint rules — F6 filters the PRE-swap
+    subject, and the emission loop implies the POST-swap subject must be a
+    concept row.  Engine vs the pandas transcription on a corpus crafted
+    to hit all three cases (fixtures contain no reverse rows)."""
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from omop2owl_vocab_spark.operators.emit import emit_triples
+    from tests.oracle_ref import precision_recall, reference_triples
+
+    cols = dict(
+        concept_name="n", domain_id="d", vocabulary_id="RxNorm",
+        concept_class_id="k", standard_concept="S",
+        valid_start_date="", valid_end_date="", invalid_reason="",
+    )
+    concept_pd = pd.DataFrame(
+        [
+            {"concept_id": "1", "concept_code": "1", **cols},
+            {"concept_id": "2", "concept_code": "2", **cols},
+        ]
+    ).set_index("concept_id")
+    edges_rows = [
+        # kept: both endpoints are concepts → (2 subClassOf 1) post-swap
+        ("1", "2", "RxNorm inverse is a"),
+        # dropped by F6: pre-swap subject 3 is not a concept
+        ("3", "1", "RxNorm inverse is a"),
+        # dropped at emission: post-swap subject 3 is not a concept row
+        ("1", "3", "RxNorm inverse is a"),
+        # forward rel for contrast: kept with dangling object (R7)
+        ("1", "3", "Maps to"),
+    ]
+    rel_pd = pd.DataFrame(
+        edges_rows,
+        columns=["concept_id_1", "concept_id_2", "relationship_id"],
+    ).assign(valid_start_date="", valid_end_date="", invalid_reason="")
+
+    oracle = reference_triples(
+        concept_pd, rel_pd, relationships=["RxNorm inverse is a", "Maps to"]
+    )
+    assert ("OMOP:2", "rdfs:subClassOf", "OMOP:1") in oracle
+    assert not any(s == "OMOP:3" for s, _, _ in oracle)
+
+    concepts = spark.createDataFrame(
+        [
+            Row(concept_id=cid, concept_name="n", domain_id="d",
+                vocabulary_id="RxNorm", concept_class_id="k",
+                standard_concept="S", concept_code=cid,
+                valid_start_date="", valid_end_date="", invalid_reason="")
+            for cid in ("1", "2")
+        ]
+    )
+    edges = spark.createDataFrame(
+        [
+            Row(concept_id_1=a, concept_id_2=b, relationship_id=r,
+                valid_start_date="", valid_end_date="", invalid_reason="")
+            for a, b, r in edges_rows
+        ]
+    )
+    engine = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in emit_triples(
+            concepts, edges, relationships=["RxNorm inverse is a", "Maps to"]
+        ).select("subj", "pred", "obj").collect()
+    }
+    p, r = precision_recall(engine, oracle)
+    assert (p, r) == (1.0, 1.0), (
+        sorted(engine - oracle), sorted(oracle - engine)
+    )
