@@ -14,5 +14,13 @@ watermark or state store is needed.
 """
 
 from omop2owl_vocab_spark.streaming.ingest import stream_code_files_to_triples
+from omop2owl_vocab_spark.streaming.window_agg import (
+    windowed_counts,
+    windowed_counts_stream,
+)
 
-__all__ = ["stream_code_files_to_triples"]
+__all__ = [
+    "stream_code_files_to_triples",
+    "windowed_counts",
+    "windowed_counts_stream",
+]
