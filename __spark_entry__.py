@@ -943,6 +943,54 @@ FROM s WHERE cos IS NOT NULL AND cos >= 0.3
 """
 
 
+def _dd_groups(spark, sf_dir):
+    """The composed dedup decision: LSH candidates → exact verify → CC →
+    one canonical doc per near-dup group (the keep-one-representative
+    table).  md5 family end-to-end; oracle = the verified-pairs SQL plus a
+    recursive-CTE transitive closure."""
+    from omop2owl_vocab_spark.operators.dedup import near_duplicate_groups
+
+    return near_duplicate_groups(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.2,
+        hash_family="md5",
+        max_bucket_size=10_000,
+    )
+
+
+_DD_GROUPS_SQL = _MINHASH_BANDS_CTE.replace(
+    "WITH t AS", "WITH RECURSIVE t AS"  # DuckDB: RECURSIVE on the WITH list
+) + """,
+sz AS (SELECT id, COUNT(*) AS sz FROM s GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.id < b.id
+  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+  GROUP BY a.id, b.id
+),
+ver AS (
+  SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
+         lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
+  FROM inter
+  JOIN sz za ON za.id = id_a
+  JOIN sz zb ON zb.id = id_b
+  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.2
+),
+sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+reach(node, other) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.other = s.a
+),
+comp AS (SELECT node, MIN(other) AS root FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(c.root, lpad(CAST(d.doc_id AS VARCHAR), 12, '0'))
+            AS BIGINT) AS group_id
+FROM documents d
+LEFT JOIN comp c ON c.node = lpad(CAST(d.doc_id AS VARCHAR), 12, '0')
+"""
+
+
 def _dd_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS, SIGMOD'03) — k-gram hashes + per-window
     minima; guarantees shared substrings ≥ k+w−1 share a fingerprint.
@@ -1351,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _dd_simhash,
         "dd_winnow": _dd_winnow,
         "dd_winnow_pairs": _dd_winnow_pairs,
+        "dd_groups": _dd_groups,
         "txt_corpus_stats": _txt_corpus_stats,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
@@ -1405,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_simhash": _DD_SIMHASH_SQL,
         "dd_winnow": _DD_WINNOW_SQL,
         "dd_winnow_pairs": _DD_WINNOW_PAIRS_SQL,
+        "dd_groups": _DD_GROUPS_SQL,
         "sim_ann_bucketed": _SIM_ANN_BUCKETED_SQL,
         "sim_ivf_topk": _SIM_IVF_TOPK_SQL,
         "mm_features": _MM_FEATURES_SQL,

@@ -378,6 +378,62 @@ def winnow_near_duplicates(
     )
 
 
+def near_duplicate_groups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The complete dedup decision, composed end-to-end: shingle → minhash
+    → LSH candidates (bucket-capped) → exact-Jaccard verify → connected
+    components over verified pairs → one canonical doc per near-dup group.
+
+    Output (doc_id, group_id): ``group_id`` is the numerically smallest
+    doc_id in the group; docs with no verified near-dup are their own
+    group.  This is the table a training-data pipeline joins against to
+    keep one representative per group.
+
+    Every stage is the linear-scale shape (no n² anywhere): candidates are
+    banded buckets, verification touches candidate pairs only, and CC is
+    the pointer-doubled min-label loop.  Ids travel through CC zero-padded
+    so the string min equals the numeric min (CC's data plane is strings).
+    """
+    from omop2owl_vocab_spark.operators.link import connected_components
+
+    sh = word_shingles(df, n, text_col=text_col, id_col=id_col)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes, hash_family=hash_family),
+        bands=bands,
+        num_hashes=num_hashes,
+        hash_family=hash_family,
+        max_bucket_size=max_bucket_size,
+    )
+    verified = jaccard_pairs(sh, threshold=threshold, candidates=cand)
+    pad = F.lpad(F.col("id_a").cast("string"), 12, "0")
+    pad_b = F.lpad(F.col("id_b").cast("string"), 12, "0")
+    labels, _ = connected_components(
+        verified.select(pad.alias("src"), pad_b.alias("dst"))
+    )
+    ids = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0").alias("node"),
+    )
+    return (
+        ids.join(labels, "node", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("node"))
+            .cast("long")
+            .alias("group_id"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

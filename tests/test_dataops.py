@@ -373,3 +373,13 @@ def test_ivf_probe_recall(spark):
     r2, r8 = recall(2), recall(8)
     assert r8 >= r2
     assert r8 >= 0.4
+
+
+def test_near_duplicate_groups(spark, docs):
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in D.near_duplicate_groups(docs, threshold=0.5).collect()
+    }
+    # docs 1/2/4 are one near-dup cluster (canonical = min id 1);
+    # 3, 5 and the empty doc 6 are their own groups
+    assert got == {1: 1, 2: 1, 4: 1, 3: 3, 5: 5, 6: 6}
