@@ -312,27 +312,44 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_bits: int = 8,
     dim: int | None = None,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
     hyperplane LSH so only same-bucket pairs are scored.  ``dim`` is
-    required (see ``hyperplane_buckets``)."""
-    b = hyperplane_buckets(df, n_bits, dim=dim, id_col=id_col, vec_col=vec_col)
-    a = b.select(
+    required (see ``hyperplane_buckets``).
+
+    ``n_tables`` > 1 is standard OR-amplification: L independent
+    hyperplane tables (seeds 42, 43, …), a pair is scored if it collides
+    in ANY table — recall rises roughly as 1−(1−p^b)^L at a linear L×
+    bucketing cost; pairs found by several tables are deduped by the
+    ``(id_a, id_b)`` tag before scoring so the cosine is computed once."""
+    tagged = None
+    for t in range(n_tables):
+        b = hyperplane_buckets(
+            df, n_bits, dim=dim, id_col=id_col, vec_col=vec_col, seed=42 + t
+        ).withColumn("bucket", F.concat(F.lit(f"{t}:"), F.col("bucket")))
+        tagged = b if tagged is None else tagged.unionByName(b)
+    a = tagged.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
         "bucket",
     )
-    c = b.select(
+    c = tagged.select(F.col(id_col).alias("id_b"), "bucket")
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-        "bucket",
     )
     cos = _cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos").isNotNull() & (F.col("cos") >= threshold))
         .select(

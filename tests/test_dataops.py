@@ -383,3 +383,34 @@ def test_near_duplicate_groups(spark, docs):
     # docs 1/2/4 are one near-dup cluster (canonical = min id 1);
     # 3, 5 and the empty doc 6 are their own groups
     assert got == {1: 1, 2: 1, 4: 1, 3: 3, 5: 5, 6: 6}
+
+
+def test_embedding_near_dup_multitable_recall(spark):
+    """OR-amplification: L tables find a superset of single-table pairs,
+    and recall vs the exact pair set rises."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_topk(emb, emb, k=1).filter("cos_e4 >= 3000")
+        .selectExpr(
+            "least(query_id, neighbor_id) AS id_a",
+            "greatest(query_id, neighbor_id) AS id_b",
+        ).distinct().collect()
+    }
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_duplicates(
+            emb, threshold=0.3, n_bits=6, dim=64, n_tables=1
+        ).collect()
+    }
+    four = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_duplicates(
+            emb, threshold=0.3, n_bits=6, dim=64, n_tables=4
+        ).collect()
+    }
+    assert one <= four  # OR-amplification only ever adds pairs
+    if exact:
+        r1 = len(one & exact) / len(exact)
+        r4 = len(four & exact) / len(exact)
+        assert r4 >= r1
