@@ -154,3 +154,120 @@ def extract_features_long(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, schema=FEATURES_LONG_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("meta_width", LongType(), False),
+        StructField("meta_height", LongType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Image resize over Arrow batches (``mapInPandas``).
+
+    Real deployment decodes with PIL and re-encodes at (width, height);
+    the sandbox stub emits a deterministic byte downsample of the payload
+    (every ceil(len/(w·h))-th byte, truncated/zero-padded to w·h bytes) so
+    batch shape, binary-column round-trip, and metadata typing are fully
+    exercised — output payload length is exactly width·height for every
+    row, which the tests pin."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires PIL — not available in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    target = width * height
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                if len(buf) == 0:
+                    out.append(bytes(target))
+                    continue
+                step = max(1, int(np.ceil(len(buf) / target)))
+                ds = buf[::step][:target]
+                if len(ds) < target:
+                    ds = np.pad(ds, (0, target - len(ds)))
+                out.append(ds.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "meta_width": np.full(len(pdf), width, dtype="int64"),
+                    "meta_height": np.full(len(pdf), height, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    frame_bytes: int = 256,
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame sampling over Arrow batches: one output row per sampled
+    frame (the 1→N explode shape a real ffmpeg extractor produces).
+
+    The stub derives the frame count from ``meta_duration_ms`` (rows
+    without a duration yield one frame at t=0) and fakes each frame as a
+    deterministic rotation of the payload bytes — the Spark-side contract
+    (schema, per-row fan-out, batch sizes) is real."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg — not available in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for media_id, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta_duration_ms"]
+            ):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = 1 if pd.isna(dur) else int(dur) // every_ms + 1
+                for i in range(n):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    if len(buf) == 0:
+                        frames.append(b"")
+                    else:
+                        rolled = np.roll(buf, -i)[:frame_bytes]
+                        frames.append(rolled.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FRAMES_SCHEMA)

@@ -414,3 +414,35 @@ def test_embedding_near_dup_multitable_recall(spark):
         r1 = len(one & exact) / len(exact)
         r4 = len(four & exact) / len(exact)
         assert r4 >= r1
+
+
+def test_resize_images_plumbing(spark, docs):
+    media = M.synth_media(docs.filter(F.col("doc_id") <= 3))
+    out = M.resize_images(media, width=8, height=8).collect()
+    assert len(out) == 3
+    for r in out:
+        assert len(r["payload"]) == 64  # exactly w*h bytes, every row
+        assert (r["meta_width"], r["meta_height"]) == (8, 8)
+    with pytest.raises(NotImplementedError):
+        M.resize_images(media, fake=False)
+
+
+def test_sample_frames_fanout(spark, docs):
+    media = M.synth_media(docs.filter(F.col("doc_id") <= 2)).withColumn(
+        "meta_duration_ms", F.lit(3500).cast("long")
+    )
+    rows = M.sample_frames(media, every_ms=1000, frame_bytes=16).collect()
+    # 3500ms at 1 frame/s → frames at t=0,1000,2000,3000 per media row
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    for mid, frames in by_id.items():
+        assert sorted(frames) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+    assert all(len(r["frame"]) <= 16 for r in rows)
+    # no-duration rows yield a single t=0 frame
+    one = M.sample_frames(
+        M.synth_media(docs.filter(F.col("doc_id") == 1)), every_ms=1000
+    ).collect()
+    assert [(r["frame_idx"], r["ts_ms"]) for r in one] == [(0, 0)]
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(media, fake=False)
