@@ -116,3 +116,34 @@ def test_edge_stage_never_rereads_content(spark, tmp_path):
     assert "code_files" not in plan  # zero scans of the source table
     assert "content" not in plan  # the wide column never enters any scan
     assert edges.count() > 0
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    """The centroid dim must broadcast — a shuffled join on a 16-row side
+    would be a regression."""
+    from omop2owl_vocab_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16)
+    plan = _plan(S.ivf_assign(emb, cents))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_owl_fragments_single_aggregate(spark):
+    """Per-class fragment assembly is ONE groupBy on subj — a second
+    full-width exchange would mean string assembly escaped the aggregate."""
+    from pyspark.sql import Row
+
+    from omop2owl_vocab_spark.operators.owl import owl_class_fragments
+
+    triples = spark.createDataFrame(
+        [
+            Row(subj="OMOP:1", pred="rdf:type", obj="owl:Class",
+                obj_is_literal=False, vocabulary_id="V", src_sha256=""),
+            Row(subj="OMOP:1", pred="rdfs:label", obj="x",
+                obj_is_literal=True, vocabulary_id="V", src_sha256=""),
+        ]
+    )
+    plan = _plan(owl_class_fragments(triples))
+    # exactly one shuffle (the subj hash-aggregate)
+    assert plan.count("Exchange hashpartitioning") <= 1
