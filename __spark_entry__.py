@@ -969,8 +969,8 @@ inter AS (
   GROUP BY a.id, b.id
 ),
 ver AS (
-  SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
-         lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
+  SELECT lpad(CAST(id_a AS VARCHAR), 19, '0') AS a,
+         lpad(CAST(id_b AS VARCHAR), 19, '0') AS b
   FROM inter
   JOIN sz za ON za.id = id_a
   JOIN sz zb ON zb.id = id_b
@@ -984,11 +984,17 @@ reach(node, other) AS (
 ),
 comp AS (SELECT node, MIN(other) AS root FROM reach GROUP BY node)
 SELECT d.doc_id,
-       CAST(COALESCE(c.root, lpad(CAST(d.doc_id AS VARCHAR), 12, '0'))
+       CAST(COALESCE(c.root, lpad(CAST(d.doc_id AS VARCHAR), 19, '0'))
             AS BIGINT) AS group_id
 FROM documents d
-LEFT JOIN comp c ON c.node = lpad(CAST(d.doc_id AS VARCHAR), 12, '0')
+LEFT JOIN comp c ON c.node = lpad(CAST(d.doc_id AS VARCHAR), 19, '0')
 """
+
+# the RECURSIVE rewrite must actually have happened — a silent .replace
+# no-op would surface as a DuckDB binder error far from the cause
+assert _DD_GROUPS_SQL.lstrip().startswith("WITH RECURSIVE"), (
+    "_MINHASH_BANDS_CTE opening clause changed; fix the RECURSIVE rewrite"
+)
 
 
 def _dd_winnow(spark, sf_dir):

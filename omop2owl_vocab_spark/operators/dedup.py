@@ -388,6 +388,7 @@ def near_duplicate_groups(
     max_bucket_size: int | None = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The complete dedup decision, composed end-to-end: shingle → minhash
     → LSH candidates (bucket-capped) → exact-Jaccard verify → connected
@@ -401,9 +402,16 @@ def near_duplicate_groups(
     Every stage is the linear-scale shape (no n² anywhere): candidates are
     banded buckets, verification touches candidate pairs only, and CC is
     the pointer-doubled min-label loop.  Ids travel through CC zero-padded
-    so the string min equals the numeric min (CC's data plane is strings).
+    to 19 digits (full non-negative int64 range) so the string min equals
+    the numeric min — doc ids must be NON-NEGATIVE, enforced JVM-side via
+    ``assert_true`` (a negative id would pad unsortably and cast back to
+    NULL).  ``cc_checkpoint_dir`` forwards to ``connected_components`` for
+    cluster-safe reliable checkpoints (see operators/link.py).
     """
     from omop2owl_vocab_spark.operators.link import connected_components
+
+    def _pad(col):
+        return F.lpad(col.cast("string"), 19, "0")
 
     sh = word_shingles(df, n, text_col=text_col, id_col=id_col)
     cand = lsh_candidate_pairs(
@@ -414,14 +422,22 @@ def near_duplicate_groups(
         max_bucket_size=max_bucket_size,
     )
     verified = jaccard_pairs(sh, threshold=threshold, candidates=cand)
-    pad = F.lpad(F.col("id_a").cast("string"), 12, "0")
-    pad_b = F.lpad(F.col("id_b").cast("string"), 12, "0")
     labels, _ = connected_components(
-        verified.select(pad.alias("src"), pad_b.alias("dst"))
+        verified.select(
+            _pad(F.col("id_a")).alias("src"), _pad(F.col("id_b")).alias("dst")
+        ),
+        checkpoint_dir=cc_checkpoint_dir,
     )
     ids = df.select(
         F.col(id_col).alias("doc_id"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0").alias("node"),
+        F.when(
+            F.assert_true(
+                F.col(id_col) >= 0,
+                "near_duplicate_groups requires non-negative doc ids "
+                "(zero-padded string ordering)",
+            ).isNull(),
+            _pad(F.col(id_col)),
+        ).alias("node"),
     )
     return (
         ids.join(labels, "node", "left")

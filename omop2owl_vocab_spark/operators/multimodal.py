@@ -231,37 +231,31 @@ def sample_frames(
     """Video frame sampling over Arrow batches: one output row per sampled
     frame (the 1→N explode shape a real ffmpeg extractor produces).
 
-    The stub derives the frame count from ``meta_duration_ms`` (rows
-    without a duration yield one frame at t=0) and fakes each frame as a
-    deterministic rotation of the payload bytes — the Spark-side contract
-    (schema, per-row fan-out, batch sizes) is real."""
+    The stub derives the frame count from ``meta_duration_ms`` (rows with
+    a missing or negative duration yield one frame at t=0) and fakes each
+    frame as a deterministic wraparound slice of the payload bytes — the
+    Spark-side contract (schema, per-row fan-out, batch sizes) is real.
+
+    Output memory is bounded: frames flush every ``_FLUSH_FRAMES`` rows,
+    so a 24h video at 1 frame/s (86k frames) never materializes as one
+    giant pandas frame, and each fake frame costs O(frame_bytes), not
+    O(payload)."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     if not fake:
         raise NotImplementedError(
             "real frame sampling requires ffmpeg — not available in this "
             "environment; pass fake=True for the deterministic stub"
         )
 
+    _FLUSH_FRAMES = 10_000
+
     def _batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        for pdf in it:
-            ids, idxs, tss, frames = [], [], [], []
-            for media_id, payload, dur in zip(
-                pdf["media_id"], pdf["payload"], pdf["meta_duration_ms"]
-            ):
-                buf = np.frombuffer(payload or b"", dtype=np.uint8)
-                n = 1 if pd.isna(dur) else int(dur) // every_ms + 1
-                for i in range(n):
-                    ids.append(media_id)
-                    idxs.append(i)
-                    tss.append(i * every_ms)
-                    if len(buf) == 0:
-                        frames.append(b"")
-                    else:
-                        rolled = np.roll(buf, -i)[:frame_bytes]
-                        frames.append(rolled.tobytes())
-            yield pd.DataFrame(
+        def _flush(ids, idxs, tss, frames):
+            return pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
@@ -269,5 +263,33 @@ def sample_frames(
                     "frame": frames,
                 }
             )
+
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for media_id, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta_duration_ms"]
+            ):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = (
+                    1
+                    if pd.isna(dur) or int(dur) < 0
+                    else int(dur) // every_ms + 1
+                )
+                for i in range(n):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    if len(buf) == 0:
+                        frames.append(b"")
+                    else:
+                        # wraparound slice: O(frame_bytes), not a full-
+                        # payload rotation
+                        sel = (np.arange(frame_bytes) + i) % len(buf)
+                        frames.append(buf[sel[: min(frame_bytes, len(buf))]].tobytes())
+                    if len(ids) >= _FLUSH_FRAMES:
+                        yield _flush(ids, idxs, tss, frames)
+                        ids, idxs, tss, frames = [], [], [], []
+            if ids:
+                yield _flush(ids, idxs, tss, frames)
 
     return media.mapInPandas(_batches, schema=FRAMES_SCHEMA)

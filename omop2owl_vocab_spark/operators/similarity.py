@@ -323,25 +323,30 @@ def embedding_near_duplicates(
     ``n_tables`` > 1 is standard OR-amplification: L independent
     hyperplane tables (seeds 42, 43, …), a pair is scored if it collides
     in ANY table — recall rises roughly as 1−(1−p^b)^L at a linear L×
-    bucketing cost; pairs found by several tables are deduped by the
-    ``(id_a, id_b)`` tag before scoring so the cosine is computed once."""
+    bucketing cost.  Cross-table duplicate pairs are deduped on the BARE
+    (id_a, id_b) keys (no vector payload rides the dedup shuffle); with
+    one table buckets are disjoint per vector, duplicates are impossible,
+    and the dedup is skipped entirely."""
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     tagged = None
     for t in range(n_tables):
         b = hyperplane_buckets(
             df, n_bits, dim=dim, id_col=id_col, vec_col=vec_col, seed=42 + t
         ).withColumn("bucket", F.concat(F.lit(f"{t}:"), F.col("bucket")))
         tagged = b if tagged is None else tagged.unionByName(b)
-    a = tagged.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-        "bucket",
-    )
+    a = tagged.select(F.col(id_col).alias("id_a"), "bucket")
     c = tagged.select(F.col(id_col).alias("id_b"), "bucket")
     pairs = (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "va", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
     )
     vb = df.select(
         F.col(id_col).alias("id_b"),
@@ -349,7 +354,8 @@ def embedding_near_duplicates(
     )
     cos = _cosine(F.col("va"), F.col("vb"))
     return (
-        pairs.join(vb, "id_b")
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos").isNotNull() & (F.col("cos") >= threshold))
         .select(

@@ -446,3 +446,28 @@ def test_sample_frames_fanout(spark, docs):
     assert [(r["frame_idx"], r["ts_ms"]) for r in one] == [(0, 0)]
     with pytest.raises(NotImplementedError):
         M.sample_frames(media, fake=False)
+
+
+def test_near_duplicate_groups_rejects_negative_ids(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=-1, text="alpha beta gamma delta"),
+         Row(doc_id=2, text="alpha beta gamma epsilon")]
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        D.near_duplicate_groups(docs, threshold=0.1).collect()
+
+
+def test_embedding_near_dup_rejects_zero_tables(spark, vectors):
+    with pytest.raises(ValueError, match="n_tables"):
+        S.embedding_near_duplicates(vectors, dim=3, n_tables=0)
+
+
+def test_sample_frames_validation_and_negative_duration(spark, docs):
+    media = M.synth_media(docs.filter(F.col("doc_id") == 1)).withColumn(
+        "meta_duration_ms", F.lit(-500).cast("long")
+    )
+    with pytest.raises(ValueError, match="every_ms"):
+        M.sample_frames(media, every_ms=0)
+    rows = M.sample_frames(media, every_ms=1000).collect()
+    # corrupt (negative) duration still yields the contractual t=0 frame
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0)]

@@ -98,7 +98,7 @@ def test_streaming_ingest(spark, tmp_path):
     ckpt = str(tmp_path / "stream_ckpt")
     synth_code_files(spark, 200).write.mode("overwrite").parquet(src)
     q = stream_code_files_to_triples(spark, src, out, ckpt, trigger_once=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     triples = spark.read.parquet(out)
     # 200 file concepts, stateless emission only (no dirs/edges)
     assert triples.filter("pred = 'rdf:type'").count() == 200

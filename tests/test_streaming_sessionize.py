@@ -58,7 +58,7 @@ def test_stream_matches_batch_sessions(spark, tmp_path):
         )
 
     q = sessionize_stream(spark, src, out, ckpt, files_per_trigger=1)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
 
     got = {
         (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 3))

@@ -47,7 +47,7 @@ def test_stream_windows_match_batch(spark, tmp_path):
     q = windowed_counts_stream(
         spark, src, out, str(tmp_path / "ckpt"), files_per_trigger=1
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
     got = {
         (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
@@ -87,7 +87,7 @@ def test_late_event_after_emission_never_duplicates(spark, tmp_path):
         spark, src, out, str(tmp_path / "ckpt"), watermark="30 minutes",
         files_per_trigger=1,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     base_rows = [
         r for r in spark.read.parquet(out).collect() if r["window_start"] == BASE
     ]
