@@ -33,6 +33,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread to 64 partitions: the testdata parquet is a single
+    row-group (1 scan split), which would serialize the expensive
+    shingle/md5 map side of the dedup chains on one core.  Real corpora
+    arrive in thousands of splits; the repartition emulates that shape
+    (measured 2.5× on the minhash chain at sf0.1) and changes no results —
+    every downstream op is key-based."""
+    return _t(spark, sf_dir, "documents").repartition(64)
+
+
 # ---------------------------------------------------------------- flagship
 
 def _kg_concepts_edges(spark: SparkSession, sf_dir: str):
@@ -569,7 +579,7 @@ WHERE g.n > 1 AND h.doc_id <> g.canonical_id
 def _dd_jaccard(spark, sf_dir):
     from omop2owl_vocab_spark.operators.dedup import jaccard_pairs, word_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs64(spark, sf_dir)
     return jaccard_pairs(word_shingles(docs, 3), threshold=0.2)
 
 
@@ -679,7 +689,7 @@ def _dd_minhash_verified(spark, sf_dir):
         word_shingles,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs64(spark, sf_dir)
     sh = word_shingles(docs)
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, 32, hash_family="md5"),
@@ -951,7 +961,7 @@ def _dd_groups(spark, sf_dir):
     from omop2owl_vocab_spark.operators.dedup import near_duplicate_groups
 
     return near_duplicate_groups(
-        _t(spark, sf_dir, "documents"),
+        _docs64(spark, sf_dir),
         threshold=0.2,
         hash_family="md5",
         max_bucket_size=10_000,
@@ -1008,10 +1018,8 @@ def _dd_winnow(spark, sf_dir):
     bounded the same way sim_near_dup_exact bounds its query side."""
     from omop2owl_vocab_spark.operators.dedup import winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    # the testdata parquet is a single row-group (1 scan partition); the
-    # per-char hashing is the heavy stage, so spread it first
-    return winnow_fingerprints(docs.repartition(64), k=16, window=8)
+    docs = _docs64(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return winnow_fingerprints(docs, k=16, window=8)
 
 
 _WINNOW_FP_CTE = """
@@ -1046,8 +1054,8 @@ def _dd_winnow_pairs(spark, sf_dir):
         winnow_near_duplicates,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    fps = winnow_fingerprints(docs.repartition(64), k=16, window=8)
+    docs = _docs64(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    fps = winnow_fingerprints(docs, k=16, window=8)
     return winnow_near_duplicates(fps, min_shared=3, max_postings=50)
 
 
@@ -1139,7 +1147,7 @@ def _dd_minhash_lsh(spark, sf_dir):
         word_shingles,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs64(spark, sf_dir)
     return lsh_candidate_pairs(
         minhash_signatures(word_shingles(docs), 32, hash_family="md5"),
         bands=8,
@@ -1164,7 +1172,7 @@ def _dd_simhash(spark, sf_dir):
     )
 
     return simhash_near_duplicates(
-        simhash_signatures(_t(spark, sf_dir, "documents")),
+        simhash_signatures(_docs64(spark, sf_dir)),
         max_bucket_size=10_000,
     )
 
