@@ -796,6 +796,62 @@ FROM sc
 """
 
 
+def _txt_gopher(spark, sf_dir):
+    """Gopher/MassiveText rule flags (Rae et al. 2021) — the baseline
+    pre-training quality filter; all ratios integer-cross-multiplied so
+    the oracle is exact."""
+    from omop2owl_vocab_spark.operators.text import gopher_flags
+
+    return gopher_flags(_t(spark, sf_dir, "documents"))
+
+
+_TXT_GOPHER_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS text,
+         list_filter(string_split_regex(trim(COALESCE(text, '')), '\\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split(COALESCE(text, ''), chr(10)),
+                     ln -> trim(ln) <> '') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS word_chars,
+         len(text) - len(replace(replace(text, '#', ''), '…', '')) AS n_sym,
+         greatest(len(lines), 1) AS n_lines,
+         len(list_filter(lines,
+             ln -> substr(trim(ln), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+         len(list_filter(lines,
+             ln -> trim(ln) LIKE '%...' OR trim(ln) LIKE '%…')) AS n_ellipsis,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             w -> list_contains(list_transform(toks, t -> lower(t)), w)))
+           AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+         AND n_words > 0 AS mean_word_len_ok,
+       n_sym * 10 <= n_words AS symbol_ratio_ok,
+       n_bullet * 10 <= n_lines * 9 AS bullet_ratio_ok,
+       n_ellipsis * 10 <= n_lines * 3 AS ellipsis_ratio_ok,
+       n_alpha * 10 >= n_words * 8 AS alpha_ratio_ok,
+       n_stop >= 2 AS stopword_ok,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+              AND n_words > 0)
+         AND n_sym * 10 <= n_words
+         AND n_bullet * 10 <= n_lines * 9
+         AND n_ellipsis * 10 <= n_lines * 3
+         AND n_alpha * 10 >= n_words * 8
+         AND n_stop >= 2 AS keep
+FROM m
+"""
+
+
 def _txt_fingerprint(spark, sf_dir):
     from omop2owl_vocab_spark.operators.text import fingerprint
 
@@ -1419,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _txt_quality,
         "txt_lang_id": _txt_lang_id,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_gopher": _txt_gopher,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
@@ -1457,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_quality": _TXT_QUALITY_SQL,
         "txt_lang_id": _TXT_LANG_ID_SQL,
         "txt_fingerprint": _TXT_FINGERPRINT_SQL,
+        "txt_gopher": _TXT_GOPHER_SQL,
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,

@@ -103,6 +103,79 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+# the Gopher/MassiveText repetition-free quality rules (Rae et al. 2021,
+# table A1 — public): the de-facto baseline filter set for web-scale
+# pre-training corpora
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher rule flags, one boolean per rule plus the combined ``keep``:
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio (# and …) ≤ 0.1
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct Gopher stop words present
+
+    Every ratio comparison is integer cross-multiplication — no float
+    division anywhere, so the DuckDB oracle matches bit-for-bit.  One
+    narrow projection, no shuffle, no UDF.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _tokens(text)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_sym = F.length(text) - F.length(F.translate(text, "#…", ""))
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.trim(ln), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(lowered, w),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        # 3 ≤ word_chars/n_words ≤ 10  (integer cross-multiplied)
+        "mean_word_len_ok": (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words)
+        & (n_words > 0),
+        "symbol_ratio_ok": n_sym * 10 <= n_words,
+        "bullet_ratio_ok": n_bullet * 10 <= n_lines * 9,
+        "ellipsis_ratio_ok": n_ellipsis * 10 <= n_lines * 3,
+        "alpha_ratio_ok": n_alpha * 10 >= n_words * 8,
+        "stopword_ok": n_stop >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return df.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized text (md5 is
     bit-identical across engines, unlike xxhash64 vs DuckDB hash()), plus a

@@ -471,3 +471,23 @@ def test_sample_frames_validation_and_negative_duration(spark, docs):
     rows = M.sample_frames(media, every_ms=1000).collect()
     # corrupt (negative) duration still yields the contractual t=0 frame
     assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0)]
+
+
+def test_gopher_flags_rules(spark):
+    good = "the words " + " ".join(
+        f"word{i} and that have with of be to" for i in range(12)
+    )
+    rows = [
+        Row(doc_id=1, text=good),                          # passes all rules
+        Row(doc_id=2, text="too short of the and"),        # < 50 words
+        Row(doc_id=3, text=good + " " + "#" * 500),        # symbol ratio + mean len
+        Row(doc_id=4, text="\n".join("- bullet point here" for _ in range(10))
+                           + "\n" + good),                 # >90% bullet lines
+        Row(doc_id=5, text=" ".join("12345" for _ in range(60))),  # no alpha/stop
+    ]
+    got = {r["doc_id"]: r for r in T.gopher_flags(spark.createDataFrame(rows)).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["word_count_ok"] and not got[2]["keep"]
+    assert not got[3]["symbol_ratio_ok"] and not got[3]["keep"]
+    assert not got[4]["bullet_ratio_ok"] and not got[4]["keep"]
+    assert not got[5]["alpha_ratio_ok"] and not got[5]["stopword_ok"]
