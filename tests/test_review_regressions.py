@@ -109,3 +109,36 @@ def test_semsql_partial_file_removed_on_bound(spark, tmp_path):
     con = sqlite3.connect(path)
     assert con.execute("SELECT COUNT(*) FROM statements").fetchone()[0] == 20
     con.close()
+
+
+def test_pipeline_survives_null_heavy_rows(spark, tmp_path):
+    """code_files rows with NULL lang/content/commit must flow through the
+    whole pipeline (derive→emit→link→write) without ANSI crashes, land in
+    the Metadata partition, and group null-content with empty-content per
+    the F1 normalization."""
+    from omop2owl_vocab_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    rows = [
+        Row(repo="r", path="a/full.py", commit="c1", lang="python",
+            content="import pkg0.mod0\nx = 1"),
+        Row(repo="r", path="a/nulls.py", commit=None, lang=None, content=None),
+        Row(repo="r", path="a/empty.py", commit="c3", lang="python", content=""),
+        Row(repo="r", path=None, commit="c4", lang="go", content="y"),  # null path
+    ]
+    src = str(tmp_path / "cf")
+    spark.createDataFrame(rows, CODE_FILES_SCHEMA).write.parquet(src)
+    report = run_pipeline(
+        spark,
+        PipelineConfig(source=src, output_dir=str(tmp_path / "out"), resume=False),
+    )
+    triples = spark.read.parquet(report["output"])
+    assert triples.count() > 0
+    vocabs = {r[0] for r in triples.select("vocabulary_id").distinct().collect()}
+    assert "Metadata" in vocabs  # NULL lang normalized, no NULL partition
+    # F1: null content ≡ '' → the two content-less files share a sha and
+    # canonicalize into one concept
+    shas = {
+        r["src_sha256"]
+        for r in triples.filter("src_sha256 <> ''").select("src_sha256").collect()
+    }
+    assert len(shas) >= 1
