@@ -852,6 +852,55 @@ FROM m
 """
 
 
+def _txt_repetition(spark, sf_dir):
+    """Gopher repetition signals: duplicate-line fraction and top-bigram
+    occupancy, computed within-row (no shuffle in the engine; the oracle
+    uses the natural unnest+group form — same semantics)."""
+    from omop2owl_vocab_spark.operators.text import repetition_flags
+
+    return repetition_flags(_t(spark, sf_dir, "documents"))
+
+
+_TXT_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), chr(10)),
+                     ln -> trim(ln) <> '') AS lines,
+         list_transform(
+             list_filter(string_split_regex(trim(COALESCE(text, '')), '\\s+'),
+                         x -> x <> ''), t -> lower(t)) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                     i -> toks[CAST(i AS INTEGER)] || ' '
+                          || toks[CAST(i + 1 AS INTEGER)])
+                ELSE [] END) AS g
+  FROM base
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+top AS (SELECT doc_id, MAX(c) AS top_bg FROM cnt GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id,
+         len(b.lines) AS n_lines,
+         len(b.lines) - len(list_distinct(b.lines)) AS n_dup,
+         greatest(len(b.toks) - 1, 0) AS n_bigrams,
+         COALESCE(t.top_bg, 0) AS top_bg
+  FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CAST(floor(CAST(n_dup AS DOUBLE) / greatest(n_lines, 1) * 10000 + 0.5)
+            AS BIGINT) AS dup_line_ratio_e4,
+       CAST(floor(CAST(top_bg AS DOUBLE) / greatest(n_bigrams, 1) * 10000 + 0.5)
+            AS BIGINT) AS top_bigram_ratio_e4,
+       n_dup * 10 <= n_lines * 3 AS dup_line_ok,
+       top_bg * 5 <= n_bigrams AS top_bigram_ok
+FROM m
+"""
+
+
 def _txt_fingerprint(spark, sf_dir):
     from omop2owl_vocab_spark.operators.text import fingerprint
 
@@ -1476,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": _txt_lang_id,
         "txt_fingerprint": _txt_fingerprint,
         "txt_gopher": _txt_gopher,
+        "txt_repetition": _txt_repetition,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
@@ -1515,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_lang_id": _TXT_LANG_ID_SQL,
         "txt_fingerprint": _TXT_FINGERPRINT_SQL,
         "txt_gopher": _TXT_GOPHER_SQL,
+        "txt_repetition": _TXT_REPETITION_SQL,
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,

@@ -176,6 +176,71 @@ def gopher_flags(
     )
 
 
+def repetition_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's within-document repetition signals (Rae et al. 2021 —
+    repetitious documents are the strongest low-quality predictor):
+
+    - ``dup_line_ratio_e4``: fraction of non-empty lines that are repeats
+      of an earlier identical line (rule: ≤ 0.30);
+    - ``top_bigram_ratio_e4``: fraction of word-bigram occurrences taken
+      by the single most frequent bigram (rule: ≤ 0.20).
+
+    Both are computed WITHIN the row via array expressions — distinct
+    counts and the bigram mode need no shuffle (``aggregate`` over the
+    sorted bigram array finds the longest equal run = the mode count).
+    Fixed-point e4 export keeps the DuckDB oracle exact.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    toks = F.transform(_tokens(text), lambda t: F.lower(t))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # mode count of a sorted array = longest run of equal neighbors; the
+    # fold carries (current_run, best_run) in a struct — one pass, no
+    # explode, no shuffle
+    sorted_bg = F.array_sort(bigrams)
+    run_state = F.aggregate(
+        F.sequence(F.lit(2), F.greatest(F.size(sorted_bg), F.lit(2))),
+        F.struct(
+            F.lit(1).alias("run"),
+            F.least(F.size(sorted_bg), F.lit(1)).alias("best"),
+        ),
+        lambda acc, i: F.when(
+            i > F.size(sorted_bg), acc
+        ).otherwise(
+            F.when(
+                F.element_at(sorted_bg, i) == F.element_at(sorted_bg, i - 1),
+                F.struct(
+                    (acc["run"] + 1).alias("run"),
+                    F.greatest(acc["best"], acc["run"] + 1).alias("best"),
+                ),
+            ).otherwise(F.struct(F.lit(1).alias("run"), acc["best"].alias("best")))
+        ),
+    )
+    top_bigram = run_state["best"]
+    n_bigrams = F.size(bigrams)
+    return df.select(
+        F.col(id_col),
+        _e4(n_dup_lines / F.greatest(n_lines, F.lit(1))).alias("dup_line_ratio_e4"),
+        _e4(top_bigram / F.greatest(n_bigrams, F.lit(1))).alias(
+            "top_bigram_ratio_e4"
+        ),
+        # the Gopher pass/fail verdicts, integer cross-multiplied
+        (n_dup_lines * 10 <= n_lines * 3).alias("dup_line_ok"),
+        (top_bigram * 5 <= n_bigrams).alias("top_bigram_ok"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized text (md5 is
     bit-identical across engines, unlike xxhash64 vs DuckDB hash()), plus a

@@ -491,3 +491,26 @@ def test_gopher_flags_rules(spark):
     assert not got[3]["symbol_ratio_ok"] and not got[3]["keep"]
     assert not got[4]["bullet_ratio_ok"] and not got[4]["keep"]
     assert not got[5]["alpha_ratio_ok"] and not got[5]["stopword_ok"]
+
+
+def test_repetition_flags(spark):
+    rows = [
+        # half the lines are repeats of line 1 → dup ratio 0.5, fails 0.3
+        Row(doc_id=1, text="same line\nsame line\nsame line\nunique one\n"
+                           "another two\nlast three"),
+        # one dominant bigram: "buy now" is 10 of 19 bigram slots
+        Row(doc_id=2, text=" ".join(["buy now"] * 10)),
+        # healthy doc
+        Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=4, text=""),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in T.repetition_flags(spark.createDataFrame(rows)).collect()
+    }
+    # 3 copies of "same line" in 6 lines → 2 repeats / 6 = 0.3333
+    assert got[1]["dup_line_ratio_e4"] == 3333
+    assert not got[1]["dup_line_ok"]
+    assert not got[2]["top_bigram_ok"]
+    assert got[3]["dup_line_ok"] and got[3]["top_bigram_ok"]
+    assert got[4]["dup_line_ratio_e4"] == 0 and got[4]["top_bigram_ratio_e4"] == 0
