@@ -44,7 +44,12 @@ def word_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, shingle) long form — word n-grams over whitespace tokens."""
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    from omop2owl_vocab_spark.operators.text import RE2_WS
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), RE2_WS + "+"),
+        lambda t: t != "",
+    )
     # standard shingling: documents with fewer than n tokens produce NO
     # shingles (a truncated sub-n shingle would make two 2-word docs look
     # like jaccard-1.0 near-dups and diverge from the DuckDB oracle)
@@ -299,7 +304,13 @@ def winnow_fingerprints(
             return F.xxhash64(sub)
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    norm = F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    from omop2owl_vocab_spark.operators.text import RE2_WS
+
+    norm = F.lower(
+        F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")), RE2_WS + "+", " "
+        )
+    )
     d = df.select(F.col(id_col).alias("id"), norm.alias("s"))
     # Bound per-row memory: a 1 MB doc would otherwise materialize a
     # ~10⁶-element hash array in one row.  Chunk with an overlap of

@@ -25,22 +25,29 @@ LANG_MARKERS = {
 }
 
 
+# The engine's whitespace class, spelled explicitly as RE2's \s
+# ([\t\n\f\r ]) rather than Java's \s (which also matches \x0B):
+# every oracle runs in DuckDB/RE2, and tokenization must agree on ALL
+# inputs, not just the \x0B-free testdata.
+RE2_WS = "[ \\t\\n\\f\\r]"
+
+
 def _e4(x: Column) -> Column:
     """Deterministic 4-decimal fixed-point: identical in Spark and DuckDB."""
     return F.floor(x * 10000 + F.lit(0.5)).cast("long")
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(text), RE2_WS + "+"), lambda t: t != "")
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count, BPE-ish subword count (4-chars-per-token
     heuristic over non-space chars), char count."""
     text = F.col(text_col)
-    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    nonspace = F.length(F.regexp_replace(text, RE2_WS, ""))
     # GPT-style pre-tokenizer shape: word runs and single punctuation marks
-    pieces = F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0)
+    pieces = F.regexp_extract_all(text, F.lit(r"\w+|[^\w \t\n\f\r]"), 0)
     return df.select(
         F.col(id_col),
         F.size(_tokens(text)).cast("long").alias("n_tokens"),
@@ -55,7 +62,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     quality signals (the usual pre-training filters)."""
     text = F.col(text_col)
     n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w \t\n\f\r]", ""))
     toks = _tokens(text)
     n_tokens = F.size(toks)
     n_stop = F.size(
@@ -68,7 +75,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         _e4(n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio_e4"),
         _e4(n_stop / safe_tokens).alias("stopword_ratio_e4"),
         _e4(
-            F.length(F.regexp_replace(text, r"\s", "")) / safe_tokens
+            F.length(F.regexp_replace(text, RE2_WS, "")) / safe_tokens
         ).alias("mean_token_len_e4"),
     )
 
@@ -147,11 +154,14 @@ def gopher_flags(
         )
     )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    lowered = F.transform(toks, lambda t: F.lower(t))
+    # distinct stopwords present, in ONE pass: array_intersect dedupes —
+    # filtering the stopword array with array_contains(lowered, w) would
+    # re-evaluate the full tokenize+lower per stopword (HOF lambdas are
+    # outside Catalyst subexpression elimination)
     n_stop = F.size(
-        F.filter(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(lowered, w),
         )
     )
     flags = {
@@ -187,49 +197,56 @@ def repetition_flags(
     - ``top_bigram_ratio_e4``: fraction of word-bigram occurrences taken
       by the single most frequent bigram (rule: ≤ 0.20).
 
-    Both are computed WITHIN the row via array expressions — distinct
-    counts and the bigram mode need no shuffle (``aggregate`` over the
-    sorted bigram array finds the longest equal run = the mode count).
-    Fixed-point e4 export keeps the DuckDB oracle exact.
+    Line stats are a narrow within-row projection; the bigram mode goes
+    through explode → two hash aggregates on (id, gram)/(id) — linear and
+    the same shuffle shape the dedup operators scale with.  Fixed-point
+    e4 export keeps the DuckDB oracle exact.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
-    n_lines = F.size(lines)
-    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
-
     toks = F.transform(_tokens(text), lambda t: F.lower(t))
+    # bigrams via zip_with over two slices: both array arguments evaluate
+    # ONCE and zip element-wise.  (element_at(toks, i) inside a
+    # per-element lambda re-evaluates the whole tokenize subtree per
+    # element — measured O(n²), 6400 tokens ≈ 40 s/doc.)
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # mode count of a sorted array = longest run of equal neighbors; the
-    # fold carries (current_run, best_run) in a struct — one pass, no
-    # explode, no shuffle
-    sorted_bg = F.array_sort(bigrams)
-    run_state = F.aggregate(
-        F.sequence(F.lit(2), F.greatest(F.size(sorted_bg), F.lit(2))),
-        F.struct(
-            F.lit(1).alias("run"),
-            F.least(F.size(sorted_bg), F.lit(1)).alias("best"),
-        ),
-        lambda acc, i: F.when(
-            i > F.size(sorted_bg), acc
-        ).otherwise(
-            F.when(
-                F.element_at(sorted_bg, i) == F.element_at(sorted_bg, i - 1),
-                F.struct(
-                    (acc["run"] + 1).alias("run"),
-                    F.greatest(acc["best"], acc["run"] + 1).alias("best"),
-                ),
-            ).otherwise(F.struct(F.lit(1).alias("run"), acc["best"].alias("best")))
-        ),
+    # Line stats are a narrow projection; the bigram MODE goes through
+    # explode → two hash aggregates keyed on (id, gram) / id — the
+    # natural linear form.  (A within-row fold over the sorted bigram
+    # array was tried first and is an optimizer trap: CollapseProject
+    # re-inlines the tokenize→bigram→sort subtree into the fold lambda,
+    # re-evaluating it per element — measured O(n³), 400 tokens ≈ 99 s.
+    # Per-doc aggregation state here is one (gram,count) group at a time,
+    # and the shuffle is the same shape the dedup operators already
+    # scale with.)
+    stats = df.select(
+        F.col(id_col),
+        F.size(lines).alias("_n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("_n_dup"),
+        F.size(bigrams).alias("_n_bigrams"),
     )
-    top_bigram = run_state["best"]
-    n_bigrams = F.size(bigrams)
-    return df.select(
+    top = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_bg"))
+    )
+    m = stats.join(top, id_col, "left").withColumn(
+        "_top_bg", F.coalesce(F.col("_top_bg"), F.lit(0))
+    )
+    n_lines = F.col("_n_lines")
+    n_dup_lines = F.col("_n_dup")
+    n_bigrams = F.col("_n_bigrams")
+    top_bigram = F.col("_top_bg")
+    return m.select(
         F.col(id_col),
         _e4(n_dup_lines / F.greatest(n_lines, F.lit(1))).alias("dup_line_ratio_e4"),
         _e4(top_bigram / F.greatest(n_bigrams, F.lit(1))).alias(
@@ -245,7 +262,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Document fingerprint: md5 of the whitespace-normalized text (md5 is
     bit-identical across engines, unlike xxhash64 vs DuckDB hash()), plus a
     16-bucket shard key from the first hex nibble."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.col(text_col)), RE2_WS + "+", " ")
     fp = F.md5(norm)
     return df.select(
         F.col(id_col),

@@ -514,3 +514,21 @@ def test_repetition_flags(spark):
     assert not got[2]["top_bigram_ok"]
     assert got[3]["dup_line_ok"] and got[3]["top_bigram_ok"]
     assert got[4]["dup_line_ratio_e4"] == 0 and got[4]["top_bigram_ratio_e4"] == 0
+
+
+def test_tokenization_matches_re2_semantics(spark):
+    """Engine whitespace = RE2's \\s exactly: vertical tab (U+000B, which
+    Java's \\s WOULD split on) and U+00A0 are NOT token separators — so
+    Spark and the DuckDB oracles tokenize identically on all inputs."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a\x0bb c d e")]
+    )
+    got = T.token_stats(docs).collect()[0]
+    assert got["n_tokens"] == 3  # 'a\x0bb', 'c\xa0d', 'e'
+    import duckdb
+
+    n_duck = duckdb.sql(
+        "SELECT len(list_filter(string_split_regex('a' || chr(11) || 'b c' "
+        "|| chr(160) || 'd e', '\\s+'), x -> x <> ''))"
+    ).fetchone()[0]
+    assert n_duck == got["n_tokens"]

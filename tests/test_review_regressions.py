@@ -135,10 +135,13 @@ def test_pipeline_survives_null_heavy_rows(spark, tmp_path):
     assert triples.count() > 0
     vocabs = {r[0] for r in triples.select("vocabulary_id").distinct().collect()}
     assert "Metadata" in vocabs  # NULL lang normalized, no NULL partition
-    # F1: null content ≡ '' → the two content-less files share a sha and
-    # canonicalize into one concept
-    shas = {
-        r["src_sha256"]
-        for r in triples.filter("src_sha256 <> ''").select("src_sha256").collect()
+    # F1: null content ≡ '' — assert the property DIRECTLY: the null-content
+    # and empty-content files must hash to the same sha
+    from omop2owl_vocab_spark.plans.derive import derive_file_concepts
+
+    shamap = {
+        r["concept_code"]: r["src_sha256"]
+        for r in derive_file_concepts(spark.read.parquet(src)).collect()
     }
-    assert len(shas) >= 1
+    assert shamap["a/nulls.py"] == shamap["a/empty.py"] != ""
+    assert shamap["a/full.py"] != shamap["a/empty.py"]

@@ -45,7 +45,17 @@ def test_spark_submit_py_files(tmp_path):
         cwd=str(tmp_path),  # NOT the repo root — imports must come from the zip
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    report = json.loads(proc.stdout[proc.stdout.index("{"):])
+    # the report is the LAST JSON object on stdout — scan '{' offsets from
+    # the right so unrelated brace-bearing log lines can't break parsing
+    report = None
+    for idx in (i for i in range(len(proc.stdout) - 1, -1, -1)
+                if proc.stdout[i] == "{"):
+        try:
+            report = json.loads(proc.stdout[idx:])
+            break
+        except json.JSONDecodeError:
+            continue
+    assert report is not None, proc.stdout[-2000:]
     assert report["output"] == f"{out}/triples"
     assert report["owl_classes"] == 20
     assert os.path.exists(f"{out}/triples/_SUCCESS")
