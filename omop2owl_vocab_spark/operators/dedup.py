@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from omop2owl_vocab_spark.operators.text import RE2_WS
+
 
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -43,23 +45,31 @@ def exact_duplicates(
 def word_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingle) long form — word n-grams over whitespace tokens."""
-    from omop2owl_vocab_spark.operators.text import RE2_WS
+    """(id, shingle) long form — word n-grams over whitespace tokens.
 
+    Shingles are built by FOLDING zip_with over n shifted slices of the
+    token array — every slice evaluates the tokenize subtree once, total
+    O(n·len).  (The obvious ``transform(sequence, i -> slice(toks, i+1,
+    n))`` form re-evaluates the whole tokenize per output element — HOF
+    lambdas are outside Catalyst CSE; measured near-quadratic, 8k tokens
+    ≈ 12 s/doc — and this function feeds every minhash/jaccard/groups
+    chain.)"""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), RE2_WS + "+"),
         lambda t: t != "",
     )
+    m = F.size(toks) - n + 1  # shingle count when size >= n
+    acc = F.slice(toks, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
     # standard shingling: documents with fewer than n tokens produce NO
     # shingles (a truncated sub-n shingle would make two 2-word docs look
     # like jaccard-1.0 near-dups and diverge from the DuckDB oracle)
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
     return df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle")
     ).filter(F.col("shingle") != "")
@@ -304,8 +314,6 @@ def winnow_fingerprints(
             return F.xxhash64(sub)
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    from omop2owl_vocab_spark.operators.text import RE2_WS
-
     norm = F.lower(
         F.regexp_replace(
             F.coalesce(F.col(text_col), F.lit("")), RE2_WS + "+", " "

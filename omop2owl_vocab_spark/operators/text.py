@@ -5,9 +5,11 @@ codegen).  Float-valued scores are returned as ``floor(x*10⁴ + 0.5)``
 integers (``*_e4``) so cross-engine comparison (DuckDB oracle) is exact —
 double rounding modes differ between engines, integer arithmetic doesn't.
 
-Designed for 100 TB corpora: every operator is a narrow projection (no
-shuffle); token/shingle explosion happens only inside dedup/similarity
-operators that need it.
+Designed for 100 TB corpora: operators are narrow projections (no
+shuffle) except ``repetition_flags``, whose bigram mode goes through an
+explode + hash-aggregate (the linear, shuffle-based form — a within-row
+fold is an optimizer trap, see the function); token/shingle explosion
+otherwise happens only inside dedup/similarity operators that need it.
 """
 
 from __future__ import annotations
@@ -201,6 +203,11 @@ def repetition_flags(
     through explode → two hash aggregates on (id, gram)/(id) — linear and
     the same shuffle shape the dedup operators scale with.  Fixed-point
     e4 export keeps the DuckDB oracle exact.
+
+    Precondition: ``id_col`` must be UNIQUE (like every id-keyed operator
+    here — duplicate ids would merge bigram counts across rows).  NULL
+    ids are handled (null-safe join), but only one NULL-id row is
+    meaningful for the same reason.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
@@ -230,7 +237,9 @@ def repetition_flags(
         F.col(id_col),
         F.size(lines).alias("_n_lines"),
         (F.size(lines) - F.size(F.array_distinct(lines))).alias("_n_dup"),
-        F.size(bigrams).alias("_n_bigrams"),
+        # count = size(toks)-1, never building the bigram strings a
+        # second time in this narrow branch
+        F.greatest(F.size(toks) - 1, F.lit(0)).alias("_n_bigrams"),
     )
     top = (
         df.select(F.col(id_col), F.explode(bigrams).alias("g"))
@@ -238,10 +247,11 @@ def repetition_flags(
         .agg(F.count("*").alias("c"))
         .groupBy(id_col)
         .agg(F.max("c").alias("_top_bg"))
+        .withColumnRenamed(id_col, "_tid")
     )
-    m = stats.join(top, id_col, "left").withColumn(
-        "_top_bg", F.coalesce(F.col("_top_bg"), F.lit(0))
-    )
+    m = stats.join(
+        top, stats[id_col].eqNullSafe(top["_tid"]), "left"
+    ).withColumn("_top_bg", F.coalesce(F.col("_top_bg"), F.lit(0)))
     n_lines = F.col("_n_lines")
     n_dup_lines = F.col("_n_dup")
     n_bigrams = F.col("_n_bigrams")
