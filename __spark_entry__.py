@@ -901,6 +901,49 @@ FROM m
 """
 
 
+def _pipe_curation(spark, sf_dir):
+    """Flagship composition: the full curation keep-list (gopher quality ∧
+    repetition ∧ exact-dup canonical ∧ near-dup representative) with
+    per-stage verdicts.  Oracle = the composed CTEs of the four
+    already-verified stage oracles."""
+    from omop2owl_vocab_spark.operators.curate import curation_decision
+
+    return curation_decision(
+        _docs64(spark, sf_dir),
+        jaccard_threshold=0.2,
+        hash_family="md5",
+        max_bucket_size=10_000,
+    )
+
+
+def _build_pipe_curation_sql() -> str:
+    # built lazily inside oracle_sql() — _DD_GROUPS_SQL is defined further
+    # down the module
+    return f"""
+WITH gq AS ({_TXT_GOPHER_SQL}),
+rq AS ({_TXT_REPETITION_SQL}),
+ex AS (SELECT doc_id, md5(text) AS hh FROM documents),
+exg AS (SELECT hh, MIN(doc_id) AS canon, COUNT(*) AS n FROM ex GROUP BY hh),
+eq AS (
+  SELECT ex.doc_id,
+         NOT (exg.n > 1 AND ex.doc_id <> exg.canon) AS exact_canonical
+  FROM ex JOIN exg USING (hh)
+),
+gg AS ({_DD_GROUPS_SQL})
+SELECT gq.doc_id,
+       gq.keep AS quality_ok,
+       rq.dup_line_ok AND rq.top_bigram_ok AS repetition_ok,
+       eq.exact_canonical,
+       gg.doc_id = gg.group_id AS near_dup_rep,
+       gq.keep AND (rq.dup_line_ok AND rq.top_bigram_ok)
+         AND eq.exact_canonical AND gg.doc_id = gg.group_id AS keep
+FROM gq
+JOIN rq USING (doc_id)
+JOIN eq USING (doc_id)
+JOIN gg ON gg.doc_id = gq.doc_id
+"""
+
+
 def _txt_fingerprint(spark, sf_dir):
     from omop2owl_vocab_spark.operators.text import fingerprint
 
@@ -1526,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": _txt_fingerprint,
         "txt_gopher": _txt_gopher,
         "txt_repetition": _txt_repetition,
+        "pipe_curation": _pipe_curation,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
@@ -1566,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": _TXT_FINGERPRINT_SQL,
         "txt_gopher": _TXT_GOPHER_SQL,
         "txt_repetition": _TXT_REPETITION_SQL,
+        "pipe_curation": _build_pipe_curation_sql(),
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,

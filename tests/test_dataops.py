@@ -532,3 +532,29 @@ def test_tokenization_matches_re2_semantics(spark):
         "|| chr(160) || 'd e', '\\s+'), x -> x <> ''))"
     ).fetchone()[0]
     assert n_duck == got["n_tokens"]
+
+
+def test_curation_decision_reasons(spark):
+    from omop2owl_vocab_spark.operators.curate import curation_decision
+
+    good = "the words " + " ".join(
+        f"tok{i} and that have with of be to" for i in range(12)
+    )
+    rows = [
+        Row(doc_id=1, text=good),                 # keeper
+        Row(doc_id=2, text=good),                 # exact dup of 1 → dropped
+        Row(doc_id=3, text=good + " extra tail words here now"),  # near-dup of 1
+        Row(doc_id=4, text="short"),              # fails gopher
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in curation_decision(
+            spark.createDataFrame(rows), jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got[1]["keep"]  # the canonical representative survives
+    assert not got[2]["exact_canonical"] and not got[2]["keep"]
+    assert not got[3]["near_dup_rep"] and not got[3]["keep"]
+    assert not got[4]["quality_ok"] and not got[4]["keep"]
+    # reasons are attributable: doc 3 passed everything except representative
+    assert got[3]["quality_ok"] and got[3]["repetition_ok"] and got[3]["exact_canonical"]
