@@ -204,3 +204,41 @@ def test_cc_checkpoint_subdir_cleanup_via_pipeline(spark, tmp_path):
     subs = {r[0] for r in spark.read.parquet(report["output"])
             .select("subj").distinct().collect()}
     assert "OMOP:2" not in subs  # merged into OMOP:1
+
+
+def test_cc_random_graph_vs_union_find(spark):
+    """CC on a 3k-edge seeded random graph must equal a plain union-find —
+    coverage beyond chains/stars (cycles, multi-merges, self-loops)."""
+    import random
+
+    rng = random.Random(42)
+    n_nodes, n_edges = 2000, 3000
+    pairs = [
+        (f"{rng.randrange(n_nodes):05d}", f"{rng.randrange(n_nodes):05d}")
+        for _ in range(n_edges)
+    ]
+    labels, stats = connected_components(_edges(spark, pairs))
+    got = {r["node"]: r["label"] for r in labels.collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # expected label = min node id in each component, over non-singleton
+    # nodes only (CC never sees nodes without an edge)
+    touched = {a for a, b in pairs if a != b} | {b for a, b in pairs if a != b}
+    comps: dict = {}
+    for x in touched:
+        comps.setdefault(find(x), set()).add(x)
+    want = {x: min(members) for root, members in comps.items() for x in members}
+    assert got == want
+    assert stats["converged"]
