@@ -568,7 +568,7 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ),
-h AS (SELECT doc_id, md5(text) AS hh FROM corpus),
+h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hh FROM corpus),
 g AS (SELECT hh, MIN(doc_id) AS canonical_id, COUNT(*) AS n FROM h GROUP BY hh)
 SELECT g.canonical_id, h.doc_id AS dup_id
 FROM h JOIN g ON h.hh = g.hh
@@ -918,29 +918,45 @@ def _pipe_curation(spark, sf_dir):
 
 def _build_pipe_curation_sql() -> str:
     # built lazily inside oracle_sql() — _DD_GROUPS_SQL is defined further
-    # down the module
+    # down the module.  FILTER-FIRST semantics: dedup stages run over the
+    # quality survivors (the groups CTE's `documents` source is rewritten
+    # to the survivors set); non-survivors carry NULL dedup verdicts.
+    groups_over_survivors = _DD_GROUPS_SQL.replace("FROM documents", "FROM survivors")
+    assert groups_over_survivors.count("FROM survivors") == 2, (
+        "groups oracle shape changed; fix the survivors rewrite"
+    )
     return f"""
 WITH gq AS ({_TXT_GOPHER_SQL}),
 rq AS ({_TXT_REPETITION_SQL}),
-ex AS (SELECT doc_id, md5(text) AS hh FROM documents),
+verd AS (
+  SELECT gq.doc_id, gq.keep AS quality_ok,
+         rq.dup_line_ok AND rq.top_bigram_ok AS repetition_ok
+  FROM gq JOIN rq USING (doc_id)
+),
+survivors AS (
+  SELECT d.* FROM documents d
+  JOIN verd USING (doc_id)
+  WHERE verd.quality_ok AND verd.repetition_ok
+),
+ex AS (SELECT doc_id, md5(COALESCE(text, '')) AS hh FROM survivors),
 exg AS (SELECT hh, MIN(doc_id) AS canon, COUNT(*) AS n FROM ex GROUP BY hh),
 eq AS (
   SELECT ex.doc_id,
          NOT (exg.n > 1 AND ex.doc_id <> exg.canon) AS exact_canonical
   FROM ex JOIN exg USING (hh)
 ),
-gg AS ({_DD_GROUPS_SQL})
-SELECT gq.doc_id,
-       gq.keep AS quality_ok,
-       rq.dup_line_ok AND rq.top_bigram_ok AS repetition_ok,
-       eq.exact_canonical,
+gg AS ({groups_over_survivors})
+SELECT verd.doc_id,
+       verd.quality_ok,
+       verd.repetition_ok,
+       CASE WHEN verd.quality_ok AND verd.repetition_ok
+            THEN COALESCE(eq.exact_canonical, TRUE) END AS exact_canonical,
        gg.doc_id = gg.group_id AS near_dup_rep,
-       gq.keep AND (rq.dup_line_ok AND rq.top_bigram_ok)
+       verd.quality_ok AND verd.repetition_ok
          AND eq.exact_canonical AND gg.doc_id = gg.group_id AS keep
-FROM gq
-JOIN rq USING (doc_id)
-JOIN eq USING (doc_id)
-JOIN gg ON gg.doc_id = gq.doc_id
+FROM verd
+LEFT JOIN eq USING (doc_id)
+LEFT JOIN gg ON gg.doc_id = verd.doc_id
 """
 
 

@@ -38,7 +38,17 @@ def curation_decision(
     cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, quality_ok, repetition_ok, exact_canonical, near_dup_rep,
-    keep) — the keep-list with per-stage reasons."""
+    keep) — the keep-list with per-stage reasons.
+
+    FILTER-FIRST ordering: the dedup stages (exact canonical pick,
+    near-dup representative pick) run over the QUALITY SURVIVORS only, so
+    a group whose min-id member is spam still keeps its best clean copy —
+    dropping quality failures first and then choosing representatives
+    among survivors is the conventional curation order.  Docs that failed
+    quality/repetition carry NULL dedup verdicts (those stages never
+    evaluated them); ``keep`` is still deterministically False for them
+    (Kleene AND with a False conjunct).
+    """
     quality = gopher_flags(df, text_col, id_col).select(
         F.col(id_col), F.col("keep").alias("quality_ok")
     )
@@ -46,11 +56,17 @@ def curation_decision(
         F.col(id_col),
         (F.col("dup_line_ok") & F.col("top_bigram_ok")).alias("repetition_ok"),
     )
-    exact_dups = exact_duplicates(df, text_col, id_col).select(
-        F.col("dup_id").alias(id_col), F.lit(False).alias("exact_canonical")
+    verdicts = quality.join(rep, id_col)
+    survivors = df.join(
+        verdicts.filter(F.col("quality_ok") & F.col("repetition_ok")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    exact_dups = exact_duplicates(survivors, text_col, id_col).select(
+        F.col("dup_id").alias(id_col), F.lit(False).alias("_exact")
     )
     groups = near_duplicate_groups(
-        df,
+        survivors,
         threshold=jaccard_threshold,
         hash_family=hash_family,
         max_bucket_size=max_bucket_size,
@@ -61,11 +77,17 @@ def curation_decision(
         F.col("doc_id").alias(id_col),
         (F.col("doc_id") == F.col("group_id")).alias("near_dup_rep"),
     )
+    passed = F.col("quality_ok") & F.col("repetition_ok")
     out = (
-        quality.join(rep, id_col)
-        .join(exact_dups, id_col, "left")
-        .join(groups, id_col)
-        .withColumn("exact_canonical", F.coalesce("exact_canonical", F.lit(True)))
+        verdicts.join(exact_dups, id_col, "left")
+        .join(groups, id_col, "left")
+        # survivors default to canonical=True unless listed as a dup;
+        # non-survivors keep NULL (stage not evaluated)
+        .withColumn(
+            "exact_canonical",
+            F.when(passed, F.coalesce("_exact", F.lit(True))),
+        )
+        .drop("_exact")
     )
     return out.select(
         id_col,

@@ -28,8 +28,13 @@ def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Groups of byte-identical docs: (canonical_id, dup_id) pairs,
-    canonical = min id per md5 group."""
-    hashed = df.select(F.col(id_col).alias("dup_id"), F.md5(F.col(text_col)).alias("h"))
+    canonical = min id per md5 group.  NULL text is F1-normalized to ''
+    (consistent with the rest of the engine), so null-content docs group
+    with empty docs instead of forming a separate NULL-hash group."""
+    hashed = df.select(
+        F.col(id_col).alias("dup_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("h"),
+    )
     groups = (
         hashed.groupBy("h")
         .agg(F.min("dup_id").alias("canonical_id"), F.count("*").alias("n"))

@@ -556,5 +556,32 @@ def test_curation_decision_reasons(spark):
     assert not got[2]["exact_canonical"] and not got[2]["keep"]
     assert not got[3]["near_dup_rep"] and not got[3]["keep"]
     assert not got[4]["quality_ok"] and not got[4]["keep"]
+    # filter-first: dedup stages never evaluated quality failures
+    assert got[4]["exact_canonical"] is None and got[4]["near_dup_rep"] is None
     # reasons are attributable: doc 3 passed everything except representative
     assert got[3]["quality_ok"] and got[3]["repetition_ok"] and got[3]["exact_canonical"]
+
+
+def test_curation_keeps_clean_copy_when_min_id_is_spam(spark):
+    """Filter-first representative selection: when a near-dup group's
+    min-id member fails quality, the clean copy must survive (the naive
+    pick-then-filter order would drop the content entirely)."""
+    from omop2owl_vocab_spark.operators.curate import curation_decision
+
+    clean = "the words " + " ".join(
+        f"tok{i} and that have with of be to" for i in range(12)
+    )
+    rows = [
+        # doc 1: same content + a symbol flood → fails gopher symbol rule,
+        # and is the GROUP MIN id
+        Row(doc_id=1, text=clean + " " + "#" * 400),
+        Row(doc_id=2, text=clean),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in curation_decision(
+            spark.createDataFrame(rows), jaccard_threshold=0.5
+        ).collect()
+    }
+    assert not got[1]["quality_ok"] and not got[1]["keep"]
+    assert got[2]["keep"], got[2]  # the clean copy is its own representative
