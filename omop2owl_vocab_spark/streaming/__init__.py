@@ -13,6 +13,7 @@ rewritten.  It reuses the exact batch emission operators (same plan,
 watermark or state store is needed.
 """
 
+from omop2owl_vocab_spark.streaming.dedup_stream import dedup_stream
 from omop2owl_vocab_spark.streaming.ingest import stream_code_files_to_triples
 from omop2owl_vocab_spark.streaming.window_agg import (
     windowed_counts,
@@ -20,6 +21,7 @@ from omop2owl_vocab_spark.streaming.window_agg import (
 )
 
 __all__ = [
+    "dedup_stream",
     "stream_code_files_to_triples",
     "windowed_counts",
     "windowed_counts_stream",
