@@ -129,6 +129,35 @@ def test_ivf_assign_broadcasts_centroids(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_ivf_corpus_assignment_has_no_window(spark):
+    """rank_limit=1 (corpus assignment) must be a partial-aggregating
+    min_by, not a row_number window: a window over the n×C scored rows
+    shuffles the whole cross product (r2 verdict #3)."""
+    from omop2owl_vocab_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16)
+    plan = _plan(S.ivf_assign(emb, cents, rank_limit=1))
+    assert "Window" not in plan, plan
+    # partial aggregation before the exchange is the point of min_by
+    assert "partial_min_by" in plan.lower() or "HashAggregate" in plan, plan
+    # the multi-probe query side (tiny) legitimately keeps the window
+    plan2 = _plan(S.ivf_assign(emb.limit(10), cents, rank_limit=2))
+    assert "Window" in plan2
+
+
+def test_hyperplane_weights_not_recomputed_per_row(spark):
+    """The ±1 weight matrix is plan-time constant — no md5/concat may
+    appear inside the projection lambdas (r2 verdict #2: per-row
+    recomputation cost n_bits×dim md5 calls per row)."""
+    from omop2owl_vocab_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _optimized(S.hyperplane_buckets(emb, n_bits=8, dim=16))
+    assert "md5" not in plan.lower(), plan
+    assert "concat_ws" not in plan.lower(), plan
+
+
 def test_owl_fragments_single_aggregate(spark):
     """Per-class fragment assembly is ONE groupBy on subj — a second
     full-width exchange would mean string assembly escaped the aggregate."""
