@@ -37,7 +37,7 @@ def test_spark_submit_py_files(tmp_path):
             os.path.join(repo, "tools", "submit_job.py"),
             "-c", "/root/reference/test/input/CPT4/concept.csv",
             "-r", "/root/reference/test/input/CPT4/concept_relationship.csv",
-            "-O", out, "-R", "ALL", "--no-canonicalize", "-S",
+            "-O", out, "-R", "ALL", "-S",
         ],
         capture_output=True,
         text=True,
