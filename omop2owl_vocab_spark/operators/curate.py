@@ -48,6 +48,16 @@ def curation_decision(
     quality/repetition carry NULL dedup verdicts (those stages never
     evaluated them); ``keep`` is still deterministically False for them
     (Kleene AND with a False conjunct).
+
+    SINGLE-SCAN discipline (r2 verdict #4): ``verdicts`` and ``survivors``
+    are persisted (memory-and-disk, spills cleanly) — without this, every
+    downstream consumer (exact dedup, near-dup groups, the final verdict
+    join) re-derives the whole quality lineage, re-scanning the text
+    column 4-5× per run.  With it, gopher/repetition each read the text
+    once, the survivor semi-join reads it once, and both dedup stages read
+    the cached survivors.  The cached frames stay registered until the
+    session drops them (Spark evicts LRU; at corpus scale point
+    ``spark.local.dir`` at real scratch disks).
     """
     quality = gopher_flags(df, text_col, id_col).select(
         F.col(id_col), F.col("keep").alias("quality_ok")
@@ -56,12 +66,12 @@ def curation_decision(
         F.col(id_col),
         (F.col("dup_line_ok") & F.col("top_bigram_ok")).alias("repetition_ok"),
     )
-    verdicts = quality.join(rep, id_col)
+    verdicts = quality.join(rep, id_col).persist()
     survivors = df.join(
         verdicts.filter(F.col("quality_ok") & F.col("repetition_ok")).select(id_col),
         id_col,
         "left_semi",
-    )
+    ).persist()
     exact_dups = exact_duplicates(survivors, text_col, id_col).select(
         F.col("dup_id").alias(id_col), F.lit(False).alias("_exact")
     )

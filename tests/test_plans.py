@@ -158,6 +158,22 @@ def test_hyperplane_weights_not_recomputed_per_row(spark):
     assert "concat_ws" not in plan.lower(), plan
 
 
+def test_curation_survivors_cached_once(spark):
+    """curation_decision persists the quality-verdict and survivor frames
+    (r2 verdict #4): every downstream consumer (exact dedup, near-dup
+    groups, final join) must read the cache, not re-derive the
+    gopher/repetition lineage with fresh text scans."""
+    from omop2owl_vocab_spark.operators.curate import curation_decision
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curation_decision(docs)
+    plan = _plan(out)
+    # verdicts feed the final join + the survivor filter; survivors feed
+    # both dedup stages (each of which consumes them multiple times) —
+    # all of those arrivals must be InMemoryTableScan nodes
+    assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
+
+
 def test_owl_fragments_single_aggregate(spark):
     """Per-class fragment assembly is ONE groupBy on subj — a second
     full-width exchange would mean string assembly escaped the aggregate."""
