@@ -62,9 +62,22 @@ def write_semsql_sqlite(
             "language TEXT)"
         )
         con.execute("CREATE TABLE prefix (prefix TEXT, base TEXT)")
+        if prefix_map is None:
+            # reference parity: its .db prefix table carries the full
+            # bundled prefixes.csv (~235 rows) + the hardcoded pair
+            # (omop2owl_vocab.py:123,126,137) — a downstream tool
+            # expanding foreign CURIEs through this table expects them
+            from omop2owl_vocab_spark.sources.prefixes import (
+                bundled_prefix_map,
+            )
+
+            prefix_map = {
+                **CORE_PREFIXES,
+                **bundled_prefix_map(),
+                **PREFIX_MAP,
+            }
         con.executemany(
-            "INSERT INTO prefix VALUES (?, ?)",
-            sorted((prefix_map or {**CORE_PREFIXES, **PREFIX_MAP}).items()),
+            "INSERT INTO prefix VALUES (?, ?)", sorted(prefix_map.items())
         )
         batch = []
         cols = triples.select(

@@ -1,14 +1,20 @@
 """S3 — the prefix→base-IRI dimension table.
 
-The reference ships a 236-row ``prefixes.csv`` consumed by semsql
+The reference ships a 235-entry ``prefixes.csv`` consumed by semsql
 (``omop2owl_vocab.py:37,123,126,137``) plus two hardcoded entries
-(``PREFIX_MAP``, ``:38-41``).  Our engine constructs CURIEs correctly from
-the start, so the dim is only needed for IRI expansion in text sinks and
-the output manifest — load it from any user-supplied csv, always overlaid
-with the hardcoded pair, and broadcast it when joined.
+(``PREFIX_MAP``, ``:38-41``).  That csv is BUNDLED verbatim at
+``omop2owl_vocab_spark/data/prefixes.csv`` (public prefix→IRI data, not
+code — the reference's semsql ``.db`` carries these rows, and downstream
+tools expanding foreign CURIEs through the prefix table expect them).
+``load_prefix_map`` overlays bundled < user csv < hardcoded pair; the dim
+is broadcast when joined.
 """
 
 from __future__ import annotations
+
+import csv
+import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,9 +29,31 @@ PREFIX_SCHEMA = StructType(
     ]
 )
 
+BUNDLED_PREFIXES_CSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "prefixes.csv",
+)
 
-def load_prefix_map(spark: SparkSession, csv_path: str | None = None) -> dict[str, str]:
-    """Driver-side dict (the dim is tiny — a dict beats a join)."""
+
+@lru_cache(maxsize=1)
+def bundled_prefix_map() -> dict[str, str]:
+    """The reference's full prefix dim, read driver-side (tiny, stdlib csv
+    — no Spark job for a 235-row constant file)."""
+    with open(BUNDLED_PREFIXES_CSV, newline="") as f:
+        return {row["prefix"]: row["base"] for row in csv.DictReader(f)}
+
+
+def load_prefix_map(
+    spark: SparkSession,
+    csv_path: str | None = None,
+    include_bundled: bool = True,
+) -> dict[str, str]:
+    """Driver-side dict (the dim is tiny — a dict beats a join).
+
+    Precedence: hardcoded ``PREFIX_MAP`` > user csv > bundled csv (the
+    reference also lets its csv-loaded entries be shadowed by the
+    hardcoded pair, omop2owl_vocab.py:38-41)."""
     out = dict(PREFIX_MAP)
     if csv_path:
         rows = (
@@ -36,6 +64,9 @@ def load_prefix_map(spark: SparkSession, csv_path: str | None = None) -> dict[st
         )
         for r in rows:
             out.setdefault(r["prefix"], r["base"])
+    if include_bundled:
+        for k, v in bundled_prefix_map().items():
+            out.setdefault(k, v)
     return out
 
 

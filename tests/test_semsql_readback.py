@@ -84,6 +84,14 @@ def test_semsql_schema_contract(db_path):
     prefixes = dict(con.execute("SELECT prefix, base FROM prefix"))
     assert prefixes["OMOP"] == "https://athena.ohdsi.org/search-terms/terms/"
     assert prefixes["rdfs"] == "http://www.w3.org/2000/01/rdf-schema#"
+    # full bundled-prefixes.csv parity: the reference's .db carries its
+    # whole 235-row prefix dim (omop2owl_vocab.py:123,126,137), not just
+    # the handful our CURIEs use — downstream CURIE expansion of foreign
+    # ids goes through this table
+    assert len(prefixes) >= 230, len(prefixes)
+    assert prefixes["omoptype"] == "https://w3id.org/cpont/omop/types/"
+    assert prefixes["omopclass"] == "https://w3id.org/cpont/omop/classes/"
+    assert prefixes["ICD10CM"] == "http://purl.bioontology.org/ontology/ICD10CM/"
     con.close()
 
 
