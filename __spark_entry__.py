@@ -1502,6 +1502,74 @@ FROM r WHERE rank <= 10
 """
 
 
+def _sim_near_dup_lsh(spark, sf_dir):
+    """Bucketed embedding near-duplicates with 2-table OR-amplification —
+    the SCALE twin of sim_near_dup_exact, now value-verified (not just
+    recall-tested): hyperplane buckets from the md5-derived weight matrix
+    (seeds 42 and 43) are bit-identical to the oracle's w CTE, so the
+    candidate set — and hence the thresholded pair set — matches exactly."""
+    from omop2owl_vocab_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, threshold=0.3, n_bits=8, dim=64, n_tables=2
+    )
+
+
+# twin of _SIM_ANN_BUCKETED_SQL extended to 2 hyperplane tables (seeds
+# 42+t): pairs colliding in ANY table's bucket, deduped, then exact-cosine
+# verified at the same 0.3 threshold as sim_near_dup_exact
+_SIM_NEAR_DUP_LSH_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+w AS (
+  SELECT t.t AS t, b.b AS b, i.i AS i,
+         CASE WHEN substr(md5(CAST(42 + t.t AS VARCHAR) || ':'
+                            || CAST(b.b AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range(2) t(t) CROSS JOIN range(8) b(b) CROSS JOIN range(64) i(i)
+),
+wl AS (SELECT t, b, list(w ORDER BY i) AS wv FROM w GROUP BY t, b),
+proj AS (
+  SELECT e.vec_id, wl.t, wl.b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), j -> wl.wv[j] * e.v[j])),
+             (a, x) -> a + x) AS p
+  FROM e CROSS JOIN wl
+),
+bkt AS (
+  SELECT vec_id,
+         CAST(t AS VARCHAR) || ':'
+           || string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, ''
+                         ORDER BY b) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN sqrt(list_dot_product(va.v, va.v))
+                   * sqrt(list_dot_product(vb.v, vb.v)) > 0
+              THEN list_dot_product(va.v, vb.v)
+                   / (sqrt(list_dot_product(va.v, va.v))
+                      * sqrt(list_dot_product(vb.v, vb.v)))
+         END AS cos
+  FROM pairs
+  JOIN e va ON va.vec_id = pairs.id_a
+  JOIN e vb ON vb.vec_id = pairs.id_b
+)
+SELECT id_a, id_b,
+       CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM scored WHERE cos IS NOT NULL AND cos >= 0.3
+"""
+
+
 def _mm_features(spark, sf_dir):
     from omop2owl_vocab_spark.operators.multimodal import (
         extract_features_long,
@@ -1591,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_exact": _sim_near_dup_exact,
         "sim_ann_bucketed": _sim_ann_bucketed,
         "sim_ivf_topk": _sim_ivf_topk,
+        "sim_near_dup_lsh": _sim_near_dup_lsh,
         "mm_features": _mm_features,
     }
 
@@ -1641,5 +1710,6 @@ def oracle_sql() -> dict[str, str]:
         "dd_groups": _DD_GROUPS_SQL,
         "sim_ann_bucketed": _SIM_ANN_BUCKETED_SQL,
         "sim_ivf_topk": _SIM_IVF_TOPK_SQL,
+        "sim_near_dup_lsh": _SIM_NEAR_DUP_LSH_SQL,
         "mm_features": _MM_FEATURES_SQL,
     }

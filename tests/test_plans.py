@@ -158,6 +158,29 @@ def test_hyperplane_weights_not_recomputed_per_row(spark):
     assert "concat_ws" not in plan.lower(), plan
 
 
+def test_emission_prunes_import_toks(spark, tmp_path):
+    """The s1_concepts checkpoint carries the (wide) import_toks array for
+    the edge stage only — the emission read must prune it at the parquet
+    scan (ReadSchema), or every s3 task decodes the widest column of the
+    checkpoint for nothing."""
+    from omop2owl_vocab_spark.operators.emit import emit_triples
+    from omop2owl_vocab_spark.plans.derive import derive_concepts, derive_edges
+    from omop2owl_vocab_spark.sources.synth import synth_code_files
+
+    src = str(tmp_path / "code_files")
+    ckpt_c = str(tmp_path / "s1_concepts")
+    ckpt_e = str(tmp_path / "s1_edges")
+    synth_code_files(spark, 300).write.parquet(src)
+    code = spark.read.parquet(src)
+    derive_concepts(code, with_import_toks=True).write.parquet(ckpt_c)
+    concepts = spark.read.parquet(ckpt_c)
+    derive_edges(code, concepts=concepts).write.parquet(ckpt_e)
+    edges = spark.read.parquet(ckpt_e)
+
+    plan = _plan(emit_triples(concepts, edges, relationships=["ALL"]))
+    assert "import_toks" not in plan, plan[:3000]
+
+
 def test_curation_survivors_cached_once(spark):
     """curation_decision persists the quality-verdict and survivor frames
     (r2 verdict #4): every downstream consumer (exact dedup, near-dup
