@@ -32,6 +32,14 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Throughput collector for the batch workload: on the sandbox microVM,
+    # G1's background GC threads burn ~30% kernel time in
+    # virtualized-timer VMEXITs (BENCH.md round-3 fleet forensics) —
+    # interleaved A/B at local[32]/4M rows averages ParallelGC ~20%
+    # faster (best 62.8 s vs G1's 88.6 s).  Driver-only: on a real
+    # cluster executor JVMs are unaffected and spark-submit conf
+    # overrides this as usual.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
 }
 
 
@@ -46,6 +54,11 @@ def get_spark(
     cluster leave it unset and let spark-submit supply it.
     """
     builder = SparkSession.builder.appName(app_name)
+    # env override for GC/JVM experiments (e.g. -XX:+UseSerialGC, which
+    # wins for fleets of small local[8] JVMs — BENCH.md round-3)
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if master is None and "spark.master" not in os.environ.get(
         "SPARK_SUBMIT_OPTS", ""
     ) and not os.environ.get("SPARK_MASTER_SET"):

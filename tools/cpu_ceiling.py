@@ -4,6 +4,13 @@ Runs a fixed per-process CPU workload (sha256 loop) pinned to N cores with
 N processes, for N in the requested list, and prints per-core relative
 throughput + the max achievable N→4N efficiency for perfectly parallel
 work.  Justifies the core-pair choice in tools/bench_scaling.py.
+
+Timing is INSIDE each child around the hash loop only — interpreter
+startup/teardown (~0.5 s) is outside the window, so the 1-process reading
+isn't inflated by fixed overhead relative to the longer-wall fleet runs
+(the same correction tools/membw_ceiling.py applies; the uncorrected form
+understated high-N ceilings).  Per-core throughput at parallelism N is
+the mean of the N children's own rates.
 """
 
 from __future__ import annotations
@@ -12,30 +19,37 @@ import json
 import shutil
 import subprocess
 import sys
-import time
 
 WORK = """
-import hashlib, sys
-for i in range(int(sys.argv[1])):
+import hashlib, sys, time
+n = int(sys.argv[1])
+t0 = time.monotonic()
+for i in range(n):
     hashlib.sha256(str(i).encode()).digest()
+print(time.monotonic() - t0)
 """
 
 
 def run(n_procs: int, per_proc: int = 3_000_000) -> float:
-    """Wall seconds for n_procs processes × per_proc hashes on n_procs cores."""
+    """Mean per-child hash rate (hashes/sec) for n_procs concurrent
+    children pinned to n_procs cores, each timing its own loop."""
     cmd_prefix = (
         ["taskset", "-c", f"0-{n_procs - 1}"] if shutil.which("taskset") else []
     )
-    t0 = time.monotonic()
     procs = [
         subprocess.Popen(
-            cmd_prefix + [sys.executable, "-c", WORK, str(per_proc)]
+            cmd_prefix + [sys.executable, "-c", WORK, str(per_proc)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
         )
         for _ in range(n_procs)
     ]
+    walls = []
     for p in procs:
-        p.wait()
-    return time.monotonic() - t0
+        out, _ = p.communicate()
+        walls.append(float(out.strip().splitlines()[-1]))
+    return sum(per_proc / w for w in walls) / n_procs
 
 
 def main() -> None:
@@ -43,12 +57,11 @@ def main() -> None:
     out = {}
     base = None
     for n in levels:
-        wall = run(n)
-        per_core = 1.0 / wall  # same per-proc work → throughput ∝ 1/wall
+        per_core = run(n)
         if base is None:
             base = per_core
         out[str(n)] = {
-            "wall_sec": round(wall, 2),
+            "per_core_hashes_per_sec": round(per_core),
             "per_core_rel": round(per_core / base, 3),
         }
     pairs = {}

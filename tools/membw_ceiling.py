@@ -8,10 +8,15 @@ memory controllers saturate long before 32 cores, so a streaming job's
 achievable 8→32 speedup is bounded by aggregate bandwidth, not core
 count.  This probe measures that bound directly: N processes each
 repeatedly reduce a buffer ~8× larger than any LLC (pure reads, numpy —
-vectorized C loop, no Python per-element cost), pinned to N cores; the
-aggregate GB/s at each N is the machine's usable bandwidth at that
-parallelism, and the N→4N bandwidth ratio is the ceiling any
-bandwidth-bound stage can scale by.
+vectorized C loop, no Python per-element cost), pinned to N cores.
+
+Timing is done INSIDE each child around the sum loop only — interpreter
+startup, numpy import, and the buffer allocation/first-touch are all
+outside the measured window (a fixed ~0.5 s overhead that would otherwise
+dominate the 1-process reading and fake a "flat" curve).  Each child
+reports its own streamed-bytes/second; since the children run
+concurrently, the machine's aggregate bandwidth at parallelism N is the
+sum of per-child rates.
 
 Usage: python tools/membw_ceiling.py [N ...]   (default 1 2 8 32)
 Prints one JSON object; pair it with a contemporaneous scaling run the
@@ -30,11 +35,15 @@ BUF_MB = 512
 PASSES = 8
 
 WORK = f"""
+import time
 import numpy as np
 a = np.ones({BUF_MB} * 1024 * 1024 // 8, dtype=np.float64)
+float(a.sum())  # touch once outside the window (faults resolved)
+t0 = time.monotonic()
 s = 0.0
 for _ in range({PASSES}):
     s += float(a.sum())
+print(time.monotonic() - t0)
 """
 
 
@@ -42,24 +51,25 @@ def run(n_procs: int) -> dict:
     cmd_prefix = (
         ["taskset", "-c", f"0-{n_procs - 1}"] if shutil.which("taskset") else []
     )
-    # warm one child (numpy import + page-in) outside the timed window
-    subprocess.run(
-        cmd_prefix + [sys.executable, "-c", WORK], capture_output=True
-    )
-    t0 = time.monotonic()
     procs = [
         subprocess.Popen(
             cmd_prefix + [sys.executable, "-c", WORK],
-            stdout=subprocess.DEVNULL,
+            stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
+            text=True,
         )
         for _ in range(n_procs)
     ]
+    walls = []
     for p in procs:
-        p.wait()
-    wall = time.monotonic() - t0
-    total_gb = n_procs * PASSES * BUF_MB / 1024
-    return {"wall_sec": round(wall, 2), "agg_gb_per_sec": round(total_gb / wall, 1)}
+        out, _ = p.communicate()
+        walls.append(float(out.strip().splitlines()[-1]))
+    per_proc_gb = PASSES * BUF_MB / 1024
+    agg = sum(per_proc_gb / w for w in walls)
+    return {
+        "child_walls_sec": [round(w, 2) for w in walls],
+        "agg_gb_per_sec": round(agg, 1),
+    }
 
 
 def main() -> None:
