@@ -89,14 +89,12 @@ def cli_parser() -> argparse.ArgumentParser:
         help="skip the SemanticSQL .db (omop-mode runs write it by default)",
     )
     p.add_argument(
-        "--canonicalize", action="store_true",
-        help="opt IN to the 'Maps to' equivalence merge in omop mode "
-        "(code mode canonicalizes by default)",
-    )
-    p.add_argument(
-        "--no-canonicalize", action="store_true",
-        help="skip equivalence merge (only meaningful in code mode, where "
-        "it is on by default)",
+        "--canonicalize", action=argparse.BooleanOptionalAction,
+        default=None,
+        help="force the 'Maps to' equivalence merge on (--canonicalize) "
+        "or off (--no-canonicalize); default follows the mode — off in "
+        "omop mode (reference keeps mapped concepts distinct), on in "
+        "code mode",
     )
     p.add_argument(
         "--semsql", action="store_true",
@@ -127,11 +125,12 @@ def _canonicalize_default(d: dict, mode: str) -> bool:
     True default silently diverges on the plain
     ``-c concept.csv -r concept_relationship.csv`` path (r2 verdict #1).
     Code mode keeps canonicalization on (the KG-construction north star).
-    ``--canonicalize`` / ``--no-canonicalize`` override either way."""
-    if d.get("no_canonicalize"):
-        return False
-    if d.get("canonicalize"):
-        return True
+    The flag is a ``BooleanOptionalAction`` tri-state — ``--canonicalize``
+    / ``--no-canonicalize`` are one argument (last one wins, contradictory
+    combinations can't silently resolve), ``None`` means mode default."""
+    flag = d.get("canonicalize")
+    if flag is not None:
+        return bool(flag)
     return mode == "code"
 
 

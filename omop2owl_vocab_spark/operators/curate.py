@@ -36,6 +36,7 @@ def curation_decision(
     text_col: str = "text",
     id_col: str = "doc_id",
     cc_checkpoint_dir: str | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """(doc_id, quality_ok, repetition_ok, exact_canonical, near_dup_rep,
     keep) — the keep-list with per-stage reasons.
@@ -49,15 +50,20 @@ def curation_decision(
     evaluated them); ``keep`` is still deterministically False for them
     (Kleene AND with a False conjunct).
 
-    SINGLE-SCAN discipline (r2 verdict #4): ``verdicts`` and ``survivors``
-    are persisted (memory-and-disk, spills cleanly) — without this, every
-    downstream consumer (exact dedup, near-dup groups, the final verdict
-    join) re-derives the whole quality lineage, re-scanning the text
-    column 4-5× per run.  With it, gopher/repetition each read the text
-    once, the survivor semi-join reads it once, and both dedup stages read
-    the cached survivors.  The cached frames stay registered until the
-    session drops them (Spark evicts LRU; at corpus scale point
-    ``spark.local.dir`` at real scratch disks).
+    SINGLE-SCAN discipline (r2 verdict #4): with ``cache=True`` (default)
+    ``verdicts`` and ``survivors`` are persisted (memory-and-disk, spills
+    cleanly) — without this, every downstream consumer (exact dedup,
+    near-dup groups, the final verdict join) re-derives the whole quality
+    lineage, re-scanning the text column 4-5× per run.  With it,
+    gopher/repetition each read the text once, the survivor semi-join
+    reads it once, and both dedup stages read the cached survivors.
+
+    Cache lifetime: the two frames must stay registered while the
+    returned plan is alive, so this function cannot unpersist them —
+    in-memory blocks are LRU-evicted, but spilled disk blocks live until
+    ``spark.catalog.clearCache()`` or session end.  A long-lived service
+    calling this per-shard should either clear the cache between shards
+    or pass ``cache=False`` (correct, just re-scans the text per stage).
     """
     quality = gopher_flags(df, text_col, id_col).select(
         F.col(id_col), F.col("keep").alias("quality_ok")
@@ -66,12 +72,16 @@ def curation_decision(
         F.col(id_col),
         (F.col("dup_line_ok") & F.col("top_bigram_ok")).alias("repetition_ok"),
     )
-    verdicts = quality.join(rep, id_col).persist()
+    verdicts = quality.join(rep, id_col)
+    if cache:
+        verdicts = verdicts.persist()
     survivors = df.join(
         verdicts.filter(F.col("quality_ok") & F.col("repetition_ok")).select(id_col),
         id_col,
         "left_semi",
-    ).persist()
+    )
+    if cache:
+        survivors = survivors.persist()
     exact_dups = exact_duplicates(survivors, text_col, id_col).select(
         F.col("dup_id").alias(id_col), F.lit(False).alias("_exact")
     )

@@ -21,14 +21,12 @@ import sqlite3
 
 from pyspark.sql import DataFrame
 
-from omop2owl_vocab_spark.functions.curie import PREFIX_MAP
-
 _BATCH = 10_000
 
-# the standard prefixes every CURIE in our emitted triples can use — a
-# semsql consumer (oaklib SqlImplementation) resolves rdf:type /
-# rdfs:label / rdfs:subClassOf / owl:Class / xsd:string through this
-# table (reference ships them in prefixes.csv:1-5)
+# the standard XML namespaces every CURIE in our emitted triples can use
+# (consumed by the RDF/XML sink's namespace header, operators/owl.py);
+# the semsql .db prefix table instead carries the FULL bundled dim via
+# sources.prefixes.default_prefix_map (these four are in it verbatim)
 CORE_PREFIXES = {
     "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
     "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
@@ -66,16 +64,14 @@ def write_semsql_sqlite(
             # reference parity: its .db prefix table carries the full
             # bundled prefixes.csv (~235 rows) + the hardcoded pair
             # (omop2owl_vocab.py:123,126,137) — a downstream tool
-            # expanding foreign CURIEs through this table expects them
+            # expanding foreign CURIEs through this table expects them.
+            # Single source (sources/prefixes.py) so the .db can't drift
+            # from the dim/manifest.
             from omop2owl_vocab_spark.sources.prefixes import (
-                bundled_prefix_map,
+                default_prefix_map,
             )
 
-            prefix_map = {
-                **CORE_PREFIXES,
-                **bundled_prefix_map(),
-                **PREFIX_MAP,
-            }
+            prefix_map = default_prefix_map()
         con.executemany(
             "INSERT INTO prefix VALUES (?, ?)", sorted(prefix_map.items())
         )

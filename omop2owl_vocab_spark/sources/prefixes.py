@@ -44,6 +44,14 @@ def bundled_prefix_map() -> dict[str, str]:
         return {row["prefix"]: row["base"] for row in csv.DictReader(f)}
 
 
+def default_prefix_map() -> dict[str, str]:
+    """THE default prefix table for emitted artifacts (semsql ``.db``,
+    manifest) — single source so sinks can't drift from the dim:
+    bundled csv overlaid by the hardcoded pair (same precedence as
+    ``load_prefix_map`` with no user csv)."""
+    return {**bundled_prefix_map(), **PREFIX_MAP}
+
+
 def load_prefix_map(
     spark: SparkSession,
     csv_path: str | None = None,

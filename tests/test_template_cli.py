@@ -114,14 +114,24 @@ def test_cli_omop_default_path_matches_reference(spark, tmp_path):
 
 
 def test_cli_canonicalize_flags(spark, tmp_path):
-    """--canonicalize opts in (omop mode), --no-canonicalize opts out
-    (code mode); the resolved value lands in the manifest config."""
-    from omop2owl_vocab_spark.cli import _canonicalize_default
+    """Tri-state flag: unset follows the mode; --canonicalize /
+    --no-canonicalize are ONE BooleanOptionalAction argument, so a
+    contradictory pair resolves by argparse's standard last-wins rule
+    instead of silently."""
+    from omop2owl_vocab_spark.cli import _canonicalize_default, cli_parser
 
     assert _canonicalize_default({}, "omop") is False
     assert _canonicalize_default({}, "code") is True
     assert _canonicalize_default({"canonicalize": True}, "omop") is True
-    assert _canonicalize_default({"no_canonicalize": True}, "code") is False
+    assert _canonicalize_default({"canonicalize": False}, "code") is False
+
+    base = ["-c", "c.csv", "-r", "r.csv", "-O", "out"]
+    p = cli_parser()
+    assert p.parse_args(base).canonicalize is None
+    assert p.parse_args(base + ["--canonicalize"]).canonicalize is True
+    assert p.parse_args(base + ["--no-canonicalize"]).canonicalize is False
+    both = p.parse_args(base + ["--canonicalize", "--no-canonicalize"])
+    assert both.canonicalize is False  # last wins, never ambiguous
 
 
 def test_cli_omop_mode_writes_semsql_by_default(spark, tmp_path):
