@@ -978,6 +978,83 @@ FROM fp
 """
 
 
+def _txt_pii(spark, sf_dir):
+    """PII detect + redact over documents with DETERMINISTICALLY PLANTED
+    addresses (doc_id%5 → an email, doc_id%7 → an IPv4, both at %35) —
+    the base corpus carries no PII, so the plant makes the operator's
+    positive paths value-verifiable; the oracle rebuilds the identical
+    augmented column and re-derives counts + the redacted-text md5 with
+    the same RE2-compatible patterns."""
+    from omop2owl_vocab_spark.operators.text import pii_flags, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.1."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".77 logged"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    df = docs.select("doc_id", aug.alias("text"))
+    flags = pii_flags(df)
+    red = redact_pii(df)
+    return flags.join(red, "doc_id").select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "has_pii",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+
+_TXT_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.77 logged' ELSE '' END AS t
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(t, '{_PII_IPV4_SQL}')) AS BIGINT)
+           AS n_ipv4,
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+           '{_PII_IPV4_SQL}', '[IP]', 'g') AS red
+  FROM aug
+)
+SELECT doc_id, n_emails, n_ipv4,
+       (n_emails > 0 OR n_ipv4 > 0) AS has_pii,
+       md5(red) AS redacted_md5
+FROM f
+"""
+
+
 # --------------------------------------------------------- similarity ops
 
 
@@ -1651,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _txt_quality,
         "txt_lang_id": _txt_lang_id,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_pii": _txt_pii,
         "txt_gopher": _txt_gopher,
         "txt_repetition": _txt_repetition,
         "pipe_curation": _pipe_curation,
@@ -1693,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_quality": _TXT_QUALITY_SQL,
         "txt_lang_id": _TXT_LANG_ID_SQL,
         "txt_fingerprint": _TXT_FINGERPRINT_SQL,
+        "txt_pii": _TXT_PII_SQL,
         "txt_gopher": _TXT_GOPHER_SQL,
         "txt_repetition": _TXT_REPETITION_SQL,
         "pipe_curation": _build_pipe_curation_sql(),

@@ -279,3 +279,45 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 1), 16, 10).cast("long").alias("fp_bucket"),
     )
+
+
+# PII patterns chosen for cross-dialect parity: Java regex (Spark) and
+# RE2 (DuckDB) agree on these constructs — character classes, bounded
+# quantifiers, ASCII \b word boundaries, no backrefs/lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+
+
+def pii_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts (emails, IPv4 addresses) + a has_pii flag —
+    the detection half of the standard pre-tokenization scrub.  Pure JVM
+    regex extraction (codegen, no UDF); patterns are RE2-compatible so the
+    DuckDB oracle re-derives counts with the identical expressions."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+    return df.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        ((n_email > 0) | (n_ipv4 > 0)).alias("has_pii"),
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The scrub half: emails → ``[EMAIL]``, IPv4s → ``[IP]``.  Emails are
+    replaced FIRST so an address whose domain label parses like a dotted
+    quad can't be half-redacted by the IP pass.  Returns (id, redacted
+    text) — downstream tokenization joins on id."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_IPV4_RE, "[IP]"
+    )
+    return df.select(F.col(id_col), scrubbed.alias("redacted"))

@@ -585,3 +585,40 @@ def test_curation_keeps_clean_copy_when_min_id_is_spam(spark):
     }
     assert not got[1]["quality_ok"] and not got[1]["keep"]
     assert got[2]["keep"], got[2]  # the clean copy is its own representative
+
+
+def test_pii_flags_and_redaction(spark):
+    """PII detect/redact: counts, word-boundary IPv4 (no partial octet
+    match on 256), and the email-before-IP redaction order (a dotted-quad
+    email domain must not be half-redacted by the IP pass)."""
+    from pyspark.sql import Row
+
+    from omop2owl_vocab_spark.operators.text import pii_flags, redact_pii
+
+    rows = [
+        Row(doc_id=1, text="mail me at a.b+c@example.co.uk or x@y.io ok"),
+        Row(doc_id=2, text="server 192.168.0.1 and 10.0.0.255 up"),
+        Row(doc_id=3, text="not an ip 999.999.999.999 nor 256.1.1.1"),
+        Row(doc_id=4, text="mixed bob@1.2.3.4.example.com from 8.8.8.8"),
+        Row(doc_id=5, text="clean text, no identifiers here"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r.asDict() for r in pii_flags(df).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_ipv4"] == 0
+    assert got[2]["n_emails"] == 0 and got[2]["n_ipv4"] == 2
+    # 999.x / 256.x: the octet alternation must not match, but embedded
+    # valid quads inside the garbage (e.g. 99.999... substrings) are out
+    # of \b scope — expect zero full matches
+    assert got[3]["n_ipv4"] == 0
+    # detection counts the dotted quad inside the email's domain too (2
+    # ipv4 hits); the email-first REDACTION order is what keeps the text
+    # whole — asserted below
+    assert got[4]["n_emails"] == 1 and got[4]["n_ipv4"] == 2
+    assert got[5]["has_pii"] is False
+
+    red = {r["doc_id"]: r["redacted"] for r in redact_pii(df).collect()}
+    assert red[1] == "mail me at [EMAIL] or [EMAIL] ok"
+    assert red[2] == "server [IP] and [IP] up"
+    # email redacted as a WHOLE before the IP pass sees its dotted domain
+    assert red[4] == "mixed [EMAIL] from [IP]"
+    assert red[5] == rows[4].text
