@@ -54,11 +54,6 @@ def get_spark(
     cluster leave it unset and let spark-submit supply it.
     """
     builder = SparkSession.builder.appName(app_name)
-    # env override for GC/JVM experiments (e.g. -XX:+UseSerialGC, which
-    # wins for fleets of small local[8] JVMs — BENCH.md round-3)
-    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
-    if java_opts:
-        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if master is None and "spark.master" not in os.environ.get(
         "SPARK_SUBMIT_OPTS", ""
     ) and not os.environ.get("SPARK_MASTER_SET"):
@@ -72,6 +67,13 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    # env override for GC/JVM experiments (e.g. -XX:+UseSerialGC) — merged
+    # AFTER the defaults so it actually wins (builder.config is
+    # last-write-wins; setting it before the defaults loop would be a
+    # silent no-op), but BELOW extra_conf (explicit code beats env)
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        conf["spark.driver.extraJavaOptions"] = java_opts
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

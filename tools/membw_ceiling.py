@@ -29,7 +29,6 @@ import json
 import shutil
 import subprocess
 import sys
-import time
 
 BUF_MB = 512
 PASSES = 8
