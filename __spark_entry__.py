@@ -1055,6 +1055,74 @@ FROM f
 """
 
 
+_BLOCKLIST = ["bad.tracker.net", "spam.example.com"]
+
+
+def _txt_domains(spark, sf_dir):
+    """URL-domain curation over documents with planted URLs (doc_id%3 → a
+    clean domain, doc_id%9 → a blocklisted one — %9 docs carry both) —
+    counts, the block verdict, and the sorted distinct-domain csv are all
+    value-verified."""
+    from omop2owl_vocab_spark.operators.text import domain_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://ex"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example.org/p ok"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(" via http://bad.tracker.net/x?id="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return domain_flags(
+        docs.select("doc_id", aug.alias("text")), blocklist=_BLOCKLIST
+    )
+
+
+_TXT_DOMAINS_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' see https://ex' || CAST(doc_id % 10 AS VARCHAR)
+                      || '.example.org/p ok' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' via http://bad.tracker.net/x?id='
+                      || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1) AS domains
+  FROM aug
+),
+f AS (
+  SELECT doc_id, domains,
+         list_filter(domains,
+                     x -> list_contains(
+                            ['bad.tracker.net', 'spam.example.com'], x))
+           AS blocked_hits
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(domains) AS BIGINT) AS n_urls,
+       CAST(len(blocked_hits) AS BIGINT) AS n_blocked_domains,
+       len(blocked_hits) > 0 AS blocked,
+       array_to_string(list_sort(list_distinct(domains)), ',') AS domains_csv
+FROM f
+"""
+
+
 # --------------------------------------------------------- similarity ops
 
 
@@ -1729,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": _txt_lang_id,
         "txt_fingerprint": _txt_fingerprint,
         "txt_pii": _txt_pii,
+        "txt_domains": _txt_domains,
         "txt_gopher": _txt_gopher,
         "txt_repetition": _txt_repetition,
         "pipe_curation": _pipe_curation,
@@ -1772,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_lang_id": _TXT_LANG_ID_SQL,
         "txt_fingerprint": _TXT_FINGERPRINT_SQL,
         "txt_pii": _TXT_PII_SQL,
+        "txt_domains": _TXT_DOMAINS_SQL,
         "txt_gopher": _TXT_GOPHER_SQL,
         "txt_repetition": _TXT_REPETITION_SQL,
         "pipe_curation": _build_pipe_curation_sql(),

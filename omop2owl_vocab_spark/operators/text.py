@@ -321,3 +321,38 @@ def redact_pii(
         F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_IPV4_RE, "[IP]"
     )
     return df.select(F.col(id_col), scrubbed.alias("redacted"))
+
+
+URL_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def domain_flags(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-domain curation: per-document URL count, blocklisted-domain
+    count, and the drop verdict — the standard source-quality filter a
+    corpus pipeline applies before content-level scoring.
+
+    Domains come from one ``regexp_extract_all`` (group 1 of ``URL_RE`` —
+    Java/RE2-common pattern, JVM codegen).  The blocklist is a plan-time
+    literal array (these lists are small dims — thousands of entries;
+    ``array_intersect`` is a hash probe per row, no join, no shuffle).
+    For million-domain blocklists use a broadcast semi-join on an
+    exploded domain column instead."""
+    t = F.col(text_col)
+    domains = F.regexp_extract_all(t, F.lit(URL_RE), 1)
+    blocked_hits = F.array_intersect(
+        domains, F.array(*[F.lit(b) for b in sorted(set(blocklist))])
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(domains).cast("long").alias("n_urls"),
+        F.size(blocked_hits).cast("long").alias("n_blocked_domains"),
+        (F.size(blocked_hits) > 0).alias("blocked"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(domains))).alias(
+            "domains_csv"
+        ),
+    )

@@ -622,3 +622,28 @@ def test_pii_flags_and_redaction(spark):
     # email redacted as a WHOLE before the IP pass sees its dotted domain
     assert red[4] == "mixed [EMAIL] from [IP]"
     assert red[5] == rows[4].text
+
+
+def test_domain_flags(spark):
+    """URL-domain blocklist curation: counts, verdicts, sorted distinct
+    domain csv, and the no-URL row."""
+    from pyspark.sql import Row
+
+    from omop2owl_vocab_spark.operators.text import domain_flags
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a https://ok.org/x b http://bad.net/y c"),
+            Row(doc_id=2, text="dup https://ok.org/1 https://ok.org/2"),
+            Row(doc_id=3, text="no urls at all"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in domain_flags(df, blocklist=["bad.net"]).collect()
+    }
+    assert got[1]["n_urls"] == 2 and got[1]["n_blocked_domains"] == 1
+    assert got[1]["blocked"] is True
+    assert got[1]["domains_csv"] == "bad.net,ok.org"
+    assert got[2]["blocked"] is False and got[2]["domains_csv"] == "ok.org"
+    assert got[3]["n_urls"] == 0 and got[3]["domains_csv"] == ""
