@@ -978,34 +978,39 @@ FROM fp
 """
 
 
+def _plant(cond, *parts):
+    """Deterministically planted text fragment: ``parts`` concatenated where
+    ``cond`` holds, '' elsewhere — the pattern every planted-column oracle
+    twin mirrors with a SQL CASE."""
+    return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+
 def _txt_pii(spark, sf_dir):
     """PII detect + redact over documents with DETERMINISTICALLY PLANTED
     addresses (doc_id%5 → an email, doc_id%7 → an IPv4, both at %35) —
     the base corpus carries no PII, so the plant makes the operator's
     positive paths value-verifiable; the oracle rebuilds the identical
     augmented column and re-derives counts + the redacted-text md5 with
-    the same RE2-compatible patterns."""
+    the same RE2-compatible patterns (imported from the operator module,
+    so the two engines cannot drift)."""
     from omop2owl_vocab_spark.operators.text import pii_flags, redact_pii
 
     docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" from 10.1."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".77 logged"),
-            ),
-        ).otherwise(F.lit("")),
+        _plant(
+            did % 5 == 0,
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com now"),
+        ),
+        _plant(
+            did % 7 == 0,
+            F.lit(" from 10.1."),
+            (did % 256).cast("string"),
+            F.lit(".77 logged"),
+        ),
     )
     df = docs.select("doc_id", aug.alias("text"))
     flags = pii_flags(df)
@@ -1019,10 +1024,13 @@ def _txt_pii(spark, sf_dir):
     )
 
 
-_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IPV4_SQL = (
-    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+# the oracle interpolates the OPERATOR'S OWN patterns — one definition,
+# structurally impossible to drift (both dialects share the construct
+# subset these patterns are restricted to)
+from omop2owl_vocab_spark.operators.text import (  # noqa: E402
+    PII_EMAIL_RE as _PII_EMAIL_SQL,
+    PII_IPV4_RE as _PII_IPV4_SQL,
+    URL_RE as _URL_SQL,
 )
 
 _TXT_PII_SQL = f"""
@@ -1056,6 +1064,7 @@ FROM f
 
 
 _BLOCKLIST = ["bad.tracker.net", "spam.example.com"]
+_BLOCKLIST_SQL = "[" + ", ".join(f"'{b}'" for b in _BLOCKLIST) + "]"
 
 
 def _txt_domains(spark, sf_dir):
@@ -1066,30 +1075,27 @@ def _txt_domains(spark, sf_dir):
     from omop2owl_vocab_spark.operators.text import domain_flags
 
     docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit(" see https://ex"),
-                (F.col("doc_id") % 10).cast("string"),
-                F.lit(".example.org/p ok"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 9 == 0,
-            F.concat(
-                F.lit(" via http://bad.tracker.net/x?id="),
-                F.col("doc_id").cast("string"),
-            ),
-        ).otherwise(F.lit("")),
+        _plant(
+            did % 3 == 0,
+            F.lit(" see https://ex"),
+            (did % 10).cast("string"),
+            F.lit(".example.org/p ok"),
+        ),
+        _plant(
+            did % 9 == 0,
+            F.lit(" via http://bad.tracker.net/x?id="),
+            did.cast("string"),
+        ),
     )
     return domain_flags(
         docs.select("doc_id", aug.alias("text")), blocklist=_BLOCKLIST
     )
 
 
-_TXT_DOMAINS_SQL = r"""
+_TXT_DOMAINS_SQL = f"""
 WITH aug AS (
   SELECT doc_id,
          text
@@ -1103,14 +1109,13 @@ WITH aug AS (
 ),
 d AS (
   SELECT doc_id,
-         regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1) AS domains
+         regexp_extract_all(t, '{_URL_SQL}', 1) AS domains
   FROM aug
 ),
 f AS (
   SELECT doc_id, domains,
          list_filter(domains,
-                     x -> list_contains(
-                            ['bad.tracker.net', 'spam.example.com'], x))
+                     x -> list_contains({_BLOCKLIST_SQL}, x))
            AS blocked_hits
   FROM d
 )
