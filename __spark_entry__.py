@@ -1128,6 +1128,66 @@ FROM f
 """
 
 
+def _pipe_split(spark, sf_dir):
+    """Deterministic train/val/test split: md5-bucket per doc (first byte,
+    0..255), seed-keyed — hashing keeps the split stable under corpus
+    growth and identical across engines/cluster sizes."""
+    from omop2owl_vocab_spark.operators.pack import train_val_test_split
+
+    return train_val_test_split(_t(spark, sf_dir, "documents"))
+
+
+# 16*nibble1 + nibble2 of md5('42:'||id) = the operator's first-byte bucket
+_NIB = "strpos('0123456789abcdef', substr(md5('42:' || CAST(doc_id AS VARCHAR)), {pos}, 1)) - 1"
+_PIPE_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(16 * ({_NIB.format(pos=1)})
+              + ({_NIB.format(pos=2)}) AS BIGINT) AS split_bucket
+  FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 12 THEN 'val'
+            WHEN split_bucket < 24 THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+def _pipe_pack(spark, sf_dir):
+    """Sequence-packing bookkeeping: md5-bucketed shard, per-shard running
+    token count, ctx-window pack id + token range — the window partitions
+    on shard, so the plan is n_shards independent linear scans, never a
+    global sort."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"))
+
+
+_SNIB = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {pos}, 1)) - 1"
+_PIPE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(16 * ({_SNIB.format(pos=1)})
+              + ({_SNIB.format(pos=2)}) AS BIGINT) % 8 AS shard,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS tok_end
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       tok_end - n_tokens AS tok_start, tok_end,
+       CAST((tok_end - n_tokens) // 2048 AS BIGINT) AS pack_id
+FROM c
+"""
+
+
 # --------------------------------------------------------- similarity ops
 
 
@@ -1806,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_gopher": _txt_gopher,
         "txt_repetition": _txt_repetition,
         "pipe_curation": _pipe_curation,
+        "pipe_split": _pipe_split,
+        "pipe_pack": _pipe_pack,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
@@ -1850,6 +1912,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_gopher": _TXT_GOPHER_SQL,
         "txt_repetition": _TXT_REPETITION_SQL,
         "pipe_curation": _build_pipe_curation_sql(),
+        "pipe_split": _PIPE_SPLIT_SQL,
+        "pipe_pack": _PIPE_PACK_SQL,
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,

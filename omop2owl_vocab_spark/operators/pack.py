@@ -1,0 +1,113 @@
+"""Pre-tokenization corpus mechanics: deterministic dataset splits and
+sequence-packing bookkeeping — the two bits of arithmetic every training
+pipeline runs between curation and shard writing.
+
+Both are pure JVM expressions / window aggregates (no UDFs) and both use
+engine-portable derivations (md5 buckets, per-shard windows) so the
+DuckDB oracles replay them bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from omop2owl_vocab_spark.operators.text import RE2_WS
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratum per document: ``train`` / ``val`` / ``test``.
+
+    Bucket = first byte of md5(f"{seed}:{id}") → 0..255; granularity is
+    1/256 ≈ 0.4% (documented — pass percentages accordingly).  Hashing
+    (not modulo on the id) keeps the split independent of id assignment
+    order, stable under corpus growth, and reproducible across engines
+    and cluster sizes; changing ``seed`` re-deals every document.  One
+    narrow projection — no shuffle, no state.
+    """
+    if val_pct + test_pct >= 100:
+        raise ValueError("val_pct + test_pct must leave room for train")
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long")
+    val_hi = 256 * val_pct // 100
+    test_hi = val_hi + 256 * test_pct // 100
+    split = (
+        F.when(bucket < val_hi, "val")
+        .when(bucket < test_hi, "test")
+        .otherwise("train")
+    )
+    return df.select(
+        F.col(id_col), bucket.alias("split_bucket"), split.alias("split")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    ctx_len: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-then-chunk packing bookkeeping: which context window
+    (``pack_id``) and token range each document lands in when the corpus
+    is concatenated shard-by-shard in id order and cut every ``ctx_len``
+    tokens — the standard GPT-style packing layout.
+
+    Documents are hash-assigned to ``n_shards`` independent shards
+    (md5 bucket — same portable derivation as the split) and the running
+    token count is a window SUM **per shard**: the window never sees more
+    than one shard, so at 10⁹ docs this is n_shards independent linear
+    scans, not one global sort — raise ``n_shards`` with the corpus (one
+    shard ≈ one output file of ctx-sized rows).  Token counts are
+    whitespace tokens (swap in the tokenizer's count upstream for exact
+    budgets).  Output: (id, shard, n_tokens, tok_start, tok_end,
+    pack_id) with ``tok_start`` the document's offset in its shard's
+    concatenated token stream and ``pack_id`` = tok_start // ctx_len
+    (documents straddling a boundary belong to the pack they start in;
+    the writer splits them downstream).
+    """
+    if ctx_len <= 0 or n_shards <= 0:
+        raise ValueError("ctx_len and n_shards must be positive")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), RE2_WS + "+"), lambda t: t != ""
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_start"),
+        cum.alias("tok_end"),
+        ((cum - F.col("n_tokens")) / ctx_len).cast("long").alias("pack_id"),
+    )

@@ -647,3 +647,53 @@ def test_domain_flags(spark):
     assert got[1]["domains_csv"] == "bad.net,ok.org"
     assert got[2]["blocked"] is False and got[2]["domains_csv"] == "ok.org"
     assert got[3]["n_urls"] == 0 and got[3]["domains_csv"] == ""
+
+
+def test_train_val_test_split(spark):
+    """Split is deterministic, seed-sensitive, and roughly proportional."""
+    from omop2owl_vocab_spark.operators.pack import train_val_test_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    assert a == b  # deterministic
+    c = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs, seed=7).collect()
+    }
+    assert a != c  # seed re-deals
+    from collections import Counter
+
+    frac = {k: v / 2000 for k, v in Counter(a.values()).items()}
+    # 5%/5% targets at 1/256 granularity (12/256 ≈ 4.7%) ± sampling noise
+    assert 0.80 <= frac["train"] <= 0.95
+    assert 0.02 <= frac["val"] <= 0.08 and 0.02 <= frac["test"] <= 0.08
+    with pytest.raises(ValueError, match="room for train"):
+        train_val_test_split(docs, val_pct=60, test_pct=40)
+
+
+def test_pack_documents_invariants(spark):
+    """Per shard: token ranges are contiguous, non-overlapping, in id
+    order, and pack_id = tok_start // ctx_len."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.pmod(F.col("id"), 50) + 1).cast("int"))
+        ).alias("text"),
+    )
+    rows = pack_documents(docs, ctx_len=64, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            assert r["tok_start"] == pos          # contiguous, no gaps
+            assert r["tok_end"] == pos + r["n_tokens"]
+            assert r["pack_id"] == r["tok_start"] // 64
+            pos = r["tok_end"]
+    assert {r["doc_id"] for r in rows} == set(range(300))
