@@ -1069,9 +1069,11 @@ _BLOCKLIST_SQL = "[" + ", ".join(f"'{b}'" for b in _BLOCKLIST) + "]"
 
 def _txt_domains(spark, sf_dir):
     """URL-domain curation over documents with planted URLs (doc_id%3 → a
-    clean domain, doc_id%9 → a blocklisted one — %9 docs carry both) —
-    counts, the block verdict, and the sorted distinct-domain csv are all
-    value-verified."""
+    clean domain, doc_id%9 → the SAME blocklisted domain TWICE — %9 docs
+    carry all three) — counts, the block verdict, and the sorted
+    distinct-domain csv are all value-verified.  The double plant pins the
+    occurrence-counting multiplicity semantics (n_blocked_domains = 2 for
+    a repeated domain, not the deduplicated 1)."""
     from omop2owl_vocab_spark.operators.text import domain_flags
 
     docs = _t(spark, sf_dir, "documents")
@@ -1088,6 +1090,7 @@ def _txt_domains(spark, sf_dir):
             did % 9 == 0,
             F.lit(" via http://bad.tracker.net/x?id="),
             did.cast("string"),
+            F.lit(" mirror http://bad.tracker.net/y"),
         ),
     )
     return domain_flags(
@@ -1104,7 +1107,8 @@ WITH aug AS (
                       || '.example.org/p ok' ELSE '' END
          || CASE WHEN doc_id % 9 = 0
                  THEN ' via http://bad.tracker.net/x?id='
-                      || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+                      || CAST(doc_id AS VARCHAR)
+                      || ' mirror http://bad.tracker.net/y' ELSE '' END AS t
   FROM documents
 ),
 d AS (

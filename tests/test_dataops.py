@@ -636,6 +636,7 @@ def test_domain_flags(spark):
             Row(doc_id=1, text="a https://ok.org/x b http://bad.net/y c"),
             Row(doc_id=2, text="dup https://ok.org/1 https://ok.org/2"),
             Row(doc_id=3, text="no urls at all"),
+            Row(doc_id=4, text="x http://bad.net/a y https://bad.net/b z"),
         ]
     )
     got = {
@@ -647,6 +648,10 @@ def test_domain_flags(spark):
     assert got[1]["domains_csv"] == "bad.net,ok.org"
     assert got[2]["blocked"] is False and got[2]["domains_csv"] == "ok.org"
     assert got[3]["n_urls"] == 0 and got[3]["domains_csv"] == ""
+    # multiplicity: the SAME blocked domain twice counts 2 occurrences
+    # (array_intersect would have deduplicated it to 1)
+    assert got[4]["n_blocked_domains"] == 2 and got[4]["blocked"] is True
+    assert got[4]["domains_csv"] == "bad.net"
 
 
 def test_train_val_test_split(spark):
