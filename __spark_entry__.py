@@ -992,8 +992,10 @@ def _txt_pii(spark, sf_dir):
     positive paths value-verifiable; the oracle rebuilds the identical
     augmented column and re-derives counts + the redacted-text md5 with
     the same RE2-compatible patterns (imported from the operator module,
-    so the two engines cannot drift)."""
-    from omop2owl_vocab_spark.operators.text import pii_flags, redact_pii
+    so the two engines cannot drift).  Uses the FUSED ``pii_scrub`` —
+    one scan, one regex evaluation per pattern per purpose, no join
+    (plan-pinned in test_plans.py)."""
+    from omop2owl_vocab_spark.operators.text import pii_scrub
 
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
@@ -1013,9 +1015,7 @@ def _txt_pii(spark, sf_dir):
         ),
     )
     df = docs.select("doc_id", aug.alias("text"))
-    flags = pii_flags(df)
-    red = redact_pii(df)
-    return flags.join(red, "doc_id").select(
+    return pii_scrub(df).select(
         "doc_id",
         "n_emails",
         "n_ipv4",

@@ -323,6 +323,42 @@ def redact_pii(
     return df.select(F.col(id_col), scrubbed.alias("redacted"))
 
 
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused detect + redact: counts, the ``has_pii`` flag, AND the
+    scrubbed text from ONE projection — the production form when both
+    halves are wanted.  ``pii_flags`` → ``redact_pii`` as separate calls
+    joined on id evaluates every pattern twice and pays a join;  this is
+    a single scan with one ``regexp_extract_all`` (counts) and one
+    ``regexp_replace`` (scrub) per pattern and no shuffle.  Same
+    email-before-IP replacement order as ``redact_pii``.
+
+    ``has_pii`` is derived in a SECOND projection from the aliased count
+    columns: inlining it would re-expand each extract expression, and
+    CollapseProject keeps the split because the non-cheap regex aliases
+    are referenced twice — so the optimized plan carries exactly one
+    evaluation per pattern per purpose (plan-pinned)."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_IPV4_RE, "[IP]"
+    )
+    return df.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        scrubbed.alias("redacted"),
+    ).select(
+        id_col,
+        "n_emails",
+        "n_ipv4",
+        ((F.col("n_emails") > 0) | (F.col("n_ipv4") > 0)).alias("has_pii"),
+        "redacted",
+    )
+
+
 URL_RE = r"https?://([A-Za-z0-9.-]+)"
 
 

@@ -623,6 +623,14 @@ def test_pii_flags_and_redaction(spark):
     assert red[4] == "mixed [EMAIL] from [IP]"
     assert red[5] == rows[4].text
 
+    # the fused single-pass form agrees with flags ⋈ redact exactly
+    from omop2owl_vocab_spark.operators.text import pii_scrub
+
+    fused = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    for did, g in got.items():
+        assert {k: fused[did][k] for k in g} == g
+        assert fused[did]["redacted"] == red[did]
+
 
 def test_domain_flags(spark):
     """URL-domain blocklist curation: counts, verdicts, sorted distinct

@@ -197,6 +197,25 @@ def test_curation_survivors_cached_once(spark):
     assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
 
 
+def test_pii_scrub_single_pass(spark):
+    """The fused pii_scrub is one projection: no join, one scan, and each
+    PII pattern evaluated once per purpose — one regexp_extract_all
+    (count) and one regexp_replace (scrub) per pattern.  The unfused
+    flags⋈redact form evaluates every pattern twice and shuffles on id
+    (r3 verdict #2)."""
+    from omop2owl_vocab_spark.operators.text import pii_scrub
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pii_scrub(docs)
+    phys = _plan(out)
+    assert "Join" not in phys, phys[:2000]
+    assert "Exchange" not in phys, phys[:2000]
+    opt = _optimized(out)
+    # 2 patterns × (1 extract + 1 replace) — nothing duplicated
+    assert opt.count("regexp_extract_all") == 2, opt[:3000]
+    assert opt.count("regexp_replace") == 2, opt[:3000]
+
+
 def test_owl_fragments_single_aggregate(spark):
     """Per-class fragment assembly is ONE groupBy on subj — a second
     full-width exchange would mean string assembly escaped the aggregate."""
