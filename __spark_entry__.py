@@ -1192,6 +1192,109 @@ FROM c
 """
 
 
+# Planted tokenizer-exact counts: (doc_id % 509) + 1, plus 5000 for every
+# 11th doc so a fraction of documents straddle MULTIPLE ctx windows —
+# exercises both the pluggable-count path and multi-pack slice fan-out.
+def _planted_tokens_col():
+    did = F.col("doc_id")
+    return (
+        (did % 509) + 1 + F.when(did % 11 == 0, 5000).otherwise(0)
+    ).cast("long")
+
+
+_PLANTED_TOKENS_SQL = (
+    "CAST((doc_id % 509) + 1"
+    " + CASE WHEN doc_id % 11 = 0 THEN 5000 ELSE 0 END AS BIGINT)"
+)
+
+
+def _pipe_pack_tokens(spark, sf_dir):
+    """Sequence packing against a PRECOMPUTED token-count column (the
+    tokenizer-exact path): counts are planted deterministically so the
+    oracle re-derives the identical column — verifies pack_documents
+    budgets in the supplied counts, not whitespace tokens."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _planted_tokens_col().alias("n_tokens")
+    )
+    return pack_documents(docs, n_tokens_col="n_tokens")
+
+
+_PIPE_PACK_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(16 * ({_SNIB.format(pos=1)})
+              + ({_SNIB.format(pos=2)}) AS BIGINT) % 8 AS shard,
+         {_PLANTED_TOKENS_SQL} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS tok_end
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       tok_end - n_tokens AS tok_start, tok_end,
+       CAST((tok_end - n_tokens) // 2048 AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+def _pipe_pack_slices(spark, sf_dir):
+    """Writer-side pack splitting: every (document, overlapped context
+    window) with exact doc-relative and pack-relative token offsets —
+    multi-pack straddlers included (the 5000-token plant spans ≥2
+    windows).  Oracle re-derives slices with generate_series; per-pack
+    sum == ctx_len except shard tails is unit-asserted in
+    test_dataops.py."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents, pack_slices
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _planted_tokens_col().alias("n_tokens")
+    )
+    return pack_slices(pack_documents(docs, n_tokens_col="n_tokens"))
+
+
+_PIPE_PACK_SLICES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(16 * ({_SNIB.format(pos=1)})
+              + ({_SNIB.format(pos=2)}) AS BIGINT) % 8 AS shard,
+         {_PLANTED_TOKENS_SQL} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS tok_end
+  FROM t
+),
+s AS (
+  SELECT doc_id, shard, tok_end - n_tokens AS tok_start, tok_end,
+         unnest(generate_series((tok_end - n_tokens) // 2048,
+                                (tok_end - 1) // 2048)) AS pack_id
+  FROM c WHERE n_tokens > 0
+)
+SELECT doc_id, shard, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(tok_start, pack_id * 2048) - tok_start AS BIGINT)
+         AS doc_tok_start,
+       CAST(LEAST(tok_end, (pack_id + 1) * 2048) - tok_start AS BIGINT)
+         AS doc_tok_end,
+       CAST(GREATEST(tok_start, pack_id * 2048) - pack_id * 2048 AS BIGINT)
+         AS pack_tok_start,
+       CAST(LEAST(tok_end, (pack_id + 1) * 2048) - pack_id * 2048 AS BIGINT)
+         AS pack_tok_end,
+       CAST(LEAST(tok_end, (pack_id + 1) * 2048)
+            - GREATEST(tok_start, pack_id * 2048) AS BIGINT)
+         AS n_slice_tokens
+FROM s
+"""
+
+
 # --------------------------------------------------------- similarity ops
 
 
@@ -1872,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_curation": _pipe_curation,
         "pipe_split": _pipe_split,
         "pipe_pack": _pipe_pack,
+        "pipe_pack_tokens": _pipe_pack_tokens,
+        "pipe_pack_slices": _pipe_pack_slices,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
@@ -1918,6 +2023,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_curation": _build_pipe_curation_sql(),
         "pipe_split": _PIPE_SPLIT_SQL,
         "pipe_pack": _PIPE_PACK_SQL,
+        "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
+        "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,

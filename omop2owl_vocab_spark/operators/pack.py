@@ -62,6 +62,7 @@ def pack_documents(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concatenate-then-chunk packing bookkeeping: which context window
     (``pack_id``) and token range each document lands in when the corpus
@@ -73,9 +74,11 @@ def pack_documents(
     token count is a window SUM **per shard**: the window never sees more
     than one shard, so at 10⁹ docs this is n_shards independent linear
     scans, not one global sort — raise ``n_shards`` with the corpus (one
-    shard ≈ one output file of ctx-sized rows).  Token counts are
-    whitespace tokens (swap in the tokenizer's count upstream for exact
-    budgets).  Output: (id, shard, n_tokens, tok_start, tok_end,
+    shard ≈ one output file of ctx-sized rows).  Token counts default to
+    whitespace tokens; pass ``n_tokens_col`` naming a precomputed
+    (tokenizer-exact) count column to budget in real tokens — the
+    standard flow runs the tokenizer once upstream, persists the count,
+    and packs against it.  Output: (id, shard, n_tokens, tok_start, tok_end,
     pack_id) with ``tok_start`` the document's offset in its shard's
     concatenated token stream and ``pack_id`` = tok_start // ctx_len
     (documents straddling a boundary belong to the pack they start in;
@@ -83,9 +86,15 @@ def pack_documents(
     """
     if ctx_len <= 0 or n_shards <= 0:
         raise ValueError("ctx_len and n_shards must be positive")
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), RE2_WS + "+"), lambda t: t != ""
-    )
+    if n_tokens_col is not None:
+        n_tok = F.col(n_tokens_col).cast("long")
+    else:
+        n_tok = F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), RE2_WS + "+"),
+                lambda t: t != "",
+            )
+        ).cast("long")
     shard = (
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
@@ -95,7 +104,7 @@ def pack_documents(
     base = df.select(
         F.col(id_col),
         shard.alias("shard"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -110,4 +119,52 @@ def pack_documents(
         (cum - F.col("n_tokens")).alias("tok_start"),
         cum.alias("tok_end"),
         ((cum - F.col("n_tokens")) / ctx_len).cast("long").alias("pack_id"),
+    )
+
+
+def pack_slices(
+    packed: DataFrame, ctx_len: int = 2048, id_col: str = "doc_id"
+) -> DataFrame:
+    """Writer-side splitter over ``pack_documents`` output: one row per
+    (document, context window it overlaps), with exact token offsets on
+    both axes — a shard writer cuts ctx_len windows directly from these
+    rows, including documents that straddle pack boundaries (which
+    ``pack_documents`` books to their START pack only).
+
+    A document covering shard-stream tokens [tok_start, tok_end) overlaps
+    packs ⌊tok_start/ctx⌋ .. ⌊(tok_end−1)/ctx⌋; ``sequence``+``explode``
+    emits one slice per overlapped pack — a NARROW op (no shuffle: the
+    only exchange in the composed plan stays the per-shard window
+    upstream), and the explode fan-out per row is ≤ ⌈n_tokens/ctx⌉+1.
+    Zero-token documents occupy no window and emit no slice.
+
+    Output per slice: ``pack_id``, document-relative offsets
+    [doc_tok_start, doc_tok_end), pack-relative offsets
+    [pack_tok_start, pack_tok_end), and ``n_slice_tokens``.  Invariants
+    (oracle-checked): slices of a doc tile [0, n_tokens) gaplessly, and
+    per (shard, pack_id) the slice sum is exactly ctx_len except each
+    shard's final pack.
+    """
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    first = F.floor(F.col("tok_start") / ctx_len).cast("long")
+    last = F.floor((F.col("tok_end") - 1) / ctx_len).cast("long")
+    s = packed.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "shard",
+        "tok_start",
+        "tok_end",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    slice_start = F.greatest("tok_start", F.col("pack_id") * ctx_len)
+    slice_end = F.least("tok_end", (F.col("pack_id") + 1) * ctx_len)
+    return s.select(
+        id_col,
+        "shard",
+        "pack_id",
+        (slice_start - F.col("tok_start")).alias("doc_tok_start"),
+        (slice_end - F.col("tok_start")).alias("doc_tok_end"),
+        (slice_start - F.col("pack_id") * ctx_len).alias("pack_tok_start"),
+        (slice_end - F.col("pack_id") * ctx_len).alias("pack_tok_end"),
+        (slice_end - slice_start).alias("n_slice_tokens"),
     )

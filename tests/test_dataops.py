@@ -710,3 +710,95 @@ def test_pack_documents_invariants(spark):
             assert r["pack_id"] == r["tok_start"] // 64
             pos = r["tok_end"]
     assert {r["doc_id"] for r in rows} == set(range(300))
+
+
+def test_pack_documents_precomputed_tokens(spark):
+    """n_tokens_col budgets in the supplied (tokenizer-exact) counts:
+    identical to the whitespace path when the counts agree, and honored
+    verbatim when they don't."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_repeat(
+                F.lit("tok"), (F.pmod(F.col("id"), 50) + 1).cast("int")
+            ),
+        ).alias("text"),
+        (F.pmod(F.col("id"), 50) + 1).cast("long").alias("ws_count"),
+        (F.pmod(F.col("id"), 7) + 100).cast("long").alias("bpe_count"),
+    )
+    ws = sorted(
+        map(tuple, pack_documents(docs, ctx_len=64, n_shards=4).collect())
+    )
+    pre = sorted(
+        map(
+            tuple,
+            pack_documents(
+                docs, ctx_len=64, n_shards=4, n_tokens_col="ws_count"
+            ).collect(),
+        )
+    )
+    assert ws == pre  # counts agree → identical layout
+    bpe = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_documents(
+            docs, ctx_len=64, n_shards=4, n_tokens_col="bpe_count"
+        ).collect()
+    }
+    assert all(bpe[i] == i % 7 + 100 for i in range(200))
+
+
+def test_pack_slices_invariants(spark):
+    """Writer-side splitter: slices tile each document gaplessly, every
+    non-tail (shard, pack) sums to exactly ctx_len, pack-relative ranges
+    tile [0, ctx) contiguously, and a doc longer than ctx_len spans
+    multiple packs."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents, pack_slices
+
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        # every 10th doc is 150 tokens long (> 2 packs at ctx=64)
+        F.when(F.pmod(F.col("id"), 10) == 0, 150)
+        .otherwise(F.pmod(F.col("id"), 40) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    packed = pack_documents(docs, ctx_len=64, n_shards=3, n_tokens_col="n_tokens")
+    slices = pack_slices(packed, ctx_len=64).collect()
+    pk = {(r["doc_id"]): r for r in packed.collect()}
+
+    # per-doc tiling of [0, n_tokens)
+    by_doc = {}
+    for s in slices:
+        by_doc.setdefault(s["doc_id"], []).append(s)
+    assert set(by_doc) == set(pk)  # every (nonzero) doc sliced
+    multi = 0
+    for did, ss in by_doc.items():
+        ss.sort(key=lambda s: s["doc_tok_start"])
+        pos = 0
+        for s in ss:
+            assert s["doc_tok_start"] == pos
+            assert s["n_slice_tokens"] == s["doc_tok_end"] - s["doc_tok_start"]
+            assert (
+                s["pack_tok_end"] - s["pack_tok_start"] == s["n_slice_tokens"]
+            )
+            assert 0 <= s["pack_tok_start"] < 64 and 0 < s["pack_tok_end"] <= 64
+            pos = s["doc_tok_end"]
+        assert pos == pk[did]["n_tokens"]
+        if len(ss) > 1:
+            multi += 1
+    assert multi >= 12  # the 150-token plants straddle
+
+    # per-(shard, pack) sums: ctx_len everywhere except each shard's tail
+    sums, tail = {}, {}
+    for s in slices:
+        key = (s["shard"], s["pack_id"])
+        sums[key] = sums.get(key, 0) + s["n_slice_tokens"]
+        tail[s["shard"]] = max(tail.get(s["shard"], -1), s["pack_id"])
+    for (shard, pid), tot in sums.items():
+        if pid == tail[shard]:
+            assert 0 < tot <= 64
+        else:
+            assert tot == 64, (shard, pid, tot)

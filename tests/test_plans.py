@@ -216,6 +216,22 @@ def test_pii_scrub_single_pass(spark):
     assert opt.count("regexp_replace") == 2, opt[:3000]
 
 
+def test_pack_slices_no_extra_exchange(spark):
+    """The slice explode is narrow: the composed pack→slices plan keeps
+    exactly the ONE exchange the per-shard window needs — a second
+    shuffle would mean the splitter re-partitioned the fan-out."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents, pack_slices
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 300) + 1).cast("long").alias("n_tokens"),
+    )
+    plan = _plan(
+        pack_slices(pack_documents(docs, n_tokens_col="n_tokens"), 2048)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
 def test_owl_fragments_single_aggregate(spark):
     """Per-class fragment assembly is ONE groupBy on subj — a second
     full-width exchange would mean string assembly escaped the aggregate."""
