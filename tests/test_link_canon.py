@@ -68,6 +68,40 @@ def test_cc_long_chain_pointer_doubling(spark):
     assert stats["converged"] and stats["rounds"] <= 12
 
 
+def test_cc_adversarial_topologies_round_bound(spark, tmp_path):
+    """Adversarial shapes the star-shaped mapping graphs never exercise:
+    a 300-node path (diameter 299), a 64-cycle, and a 2-node component in
+    ONE graph.  Pins the pointer-doubling guarantee — rounds ≤
+    ⌈log2(diameter)⌉ + 2 (the +2 = the doubling-free first round and the
+    final zero-change detection round) — on both the localCheckpoint and
+    the reliable-checkpoint paths, far under the naive O(diameter)."""
+    import math
+
+    pairs = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(299)]
+    pairs += [(f"c{i:03d}", f"c{(i + 1) % 64:03d}") for i in range(64)]
+    pairs += [("z1", "z2")]
+    bound = math.ceil(math.log2(299)) + 2  # = 11
+
+    for ckpt in (None, str(tmp_path / "cc_ckpt")):
+        labels, stats = connected_components(
+            _edges(spark, pairs), max_iter=bound, checkpoint_dir=ckpt
+        )
+        got = {r["node"]: r["label"] for r in labels.collect()}
+        assert stats["converged"] and stats["rounds"] <= bound, stats
+        assert stats["changed_per_round"][-1] == 0
+        assert all(got[f"n{i:04d}"] == "n0000" for i in range(300))
+        assert all(got[f"c{i:03d}"] == "c000" for i in range(64))
+        assert got["z1"] == got["z2"] == "z1"
+        assert len(got) == 300 + 64 + 2
+
+    # the same graph under the round cap trips the guard, not a silent
+    # wrong answer (naive propagation would need ~299 rounds)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, pairs), max_iter=4)
+
+
 def test_cc_nonconvergence_raises(spark):
     import pytest as _pytest
 
