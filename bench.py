@@ -5,9 +5,19 @@ Runs every ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
 full KG pipeline end-to-end (synthetic code_files → triples) reporting
 triples/sec — the BASELINE.json headline metric.
 
+Noise discipline (r3 verdict #2): the whole suite is swept
+``$SPARK_GRAFT_BENCH_REPS`` times (default 3) in INTERLEAVED rounds —
+query A's k-th sample lands in the same time window as query B's k-th
+sample, so a host-load burst hits one round of everything rather than
+all samples of one query.  Reported per-query time is the MEDIAN across
+rounds; ``noise_pct`` carries the per-query (max−min)/median spread so
+round-over-round deltas can be read against measured variance instead of
+guessed (this VM has shown ±30–40 % single-shot swings).
+
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "pipeline": {...}}
+   "queries": {name: median sec, ...}, "noise_pct": {name: pct, ...},
+   "reps": N, "sf": ..., "pipeline": {...}}
 
 Execution is forced with the noop data source (full computation, no
 driver-side collect overhead).
@@ -30,6 +40,13 @@ from omop2owl_vocab_spark.session import get_spark  # noqa: E402
 from omop2owl_vocab_spark.sources.synth import synth_code_files  # noqa: E402
 
 PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS", "100000"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _force(df) -> None:
@@ -57,11 +74,26 @@ def main() -> None:
         )
     )
 
-    per_query: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        t0 = time.monotonic()
-        _force(fn(spark, sf_dir))
-        per_query[name] = round(time.monotonic() - t0, 3)
+    samples: dict[str, list[float]] = {}
+    for _rep in range(REPS):
+        for name, fn in entry_mod.queries().items():
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            samples.setdefault(name, []).append(time.monotonic() - t0)
+    # median over ALL rounds (robust to the round-1 codegen warmup, which
+    # lands at the max); noise over rounds 2..N only, so the spread reads
+    # steady-state host variance, not first-use plan compilation
+    per_query = {n: round(_median(xs), 3) for n, xs in samples.items()}
+
+    def _spread(xs: list[float]) -> float:
+        ss = xs[1:] if len(xs) >= 3 else xs
+        return (
+            round(100 * (max(ss) - min(ss)) / _median(xs), 1)
+            if len(ss) > 1
+            else 0.0
+        )
+
+    noise_pct = {n: _spread(xs) for n, xs in samples.items()}
 
     # end-to-end pipeline: code_files → triples (the north-rule metric);
     # tmpfs when available — a single local disk is the sandbox artifact,
@@ -85,17 +117,24 @@ def main() -> None:
     try:
         src = os.path.join(work, "code_files")
         synth_code_files(spark, PIPELINE_ROWS).write.mode("overwrite").parquet(src)
-        cfg = PipelineConfig(
-            source=src, output_dir=os.path.join(work, "out"), resume=False
-        )
-        t0 = time.monotonic()
-        run_pipeline(spark, cfg)
-        pipeline_sec = time.monotonic() - t0
-        n_triples = spark.read.parquet(os.path.join(work, "out", "triples")).count()
+        pipe_samples = []
+        for rep in range(REPS):
+            out = os.path.join(work, f"out{rep}")
+            cfg = PipelineConfig(source=src, output_dir=out, resume=False)
+            t0 = time.monotonic()
+            run_pipeline(spark, cfg)
+            pipe_samples.append(time.monotonic() - t0)
+            if rep < REPS - 1:
+                shutil.rmtree(out, ignore_errors=True)
+        pipeline_sec = _median(pipe_samples)
+        n_triples = spark.read.parquet(
+            os.path.join(work, f"out{REPS - 1}", "triples")
+        ).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
     per_query["pipeline_e2e"] = round(pipeline_sec, 3)
+    noise_pct["pipeline_e2e"] = _spread(pipe_samples)
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -104,6 +143,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "noise_pct": noise_pct,
+                "reps": REPS,
                 "sf": sf,
                 "pipeline": {
                     "rows_in": PIPELINE_ROWS,
