@@ -1,6 +1,7 @@
 """S3 — the prefix→base-IRI dimension table.
 
-The reference ships a 235-entry ``prefixes.csv`` consumed by semsql
+The reference ships a 235-row ``prefixes.csv`` (234 unique prefixes —
+``FBcv`` appears twice upstream; the dict keeps the last) consumed by semsql
 (``omop2owl_vocab.py:37,123,126,137``) plus two hardcoded entries
 (``PREFIX_MAP``, ``:38-41``).  That csv is BUNDLED verbatim at
 ``omop2owl_vocab_spark/data/prefixes.csv`` (public prefix→IRI data, not
