@@ -24,6 +24,13 @@ every fleet job is a complete, independent pipeline run — the same
 independence a cluster's executor groups have for partition-local stages.
 
 Usage: python tools/bench_multi_jvm.py [total_rows] [--json out.json]
+           [--cores N] [--groups G]
+
+``--cores``/``--groups`` pick the executor size and fleet width (default
+8×4 = the full-host 8→32 regime).  ``--cores 2 --groups 4`` measures the
+2→8 pair executor-style: one 2-core JVM vs four 2-core JVMs — unlike the
+single-JVM local[8] emulation, per-executor thread count stays constant
+across the two sides, exactly as it does on a real cluster.
 """
 
 from __future__ import annotations
@@ -38,8 +45,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-GROUPS = 4
-CORES_PER_GROUP = 8
+GROUPS = 4  # overridden by --groups
+CORES_PER_GROUP = 8  # overridden by --cores
 
 _CHILD = r"""
 import json, os, sys, time
@@ -47,10 +54,10 @@ sys.path.insert(0, {repo!r})
 from omop2owl_vocab_spark.plans.pipeline import PipelineConfig, run_pipeline
 from omop2owl_vocab_spark.session import get_spark
 
-src = sys.argv[1]; out = sys.argv[2]
-spark = get_spark("multijvm", master="local[8]",
+src = sys.argv[1]; out = sys.argv[2]; cpus = int(sys.argv[3])
+spark = get_spark("multijvm", master=f"local[{{cpus}}]",
                   extra_conf={{
-                      "spark.sql.shuffle.partitions": "16",
+                      "spark.sql.shuffle.partitions": str(cpus * 2),
                       "spark.local.dir": os.path.join(out, "_sparklocal"),
                   }})
 spark.sparkContext.setLogLevel("ERROR")
@@ -65,7 +72,7 @@ print(json.dumps({{"wall_sec": wall, "triples": n}}))
 
 def _spawn(slice_dir: str, out: str, core_lo: int) -> subprocess.Popen:
     script = _CHILD.format(repo=REPO)
-    cmd = [sys.executable, "-c", script, slice_dir, out]
+    cmd = [sys.executable, "-c", script, slice_dir, out, str(CORES_PER_GROUP)]
     if shutil.which("taskset"):
         cmd = [
             "taskset", "-c", f"{core_lo}-{core_lo + CORES_PER_GROUP - 1}",
@@ -88,6 +95,7 @@ def _result(p: subprocess.Popen) -> dict:
 
 
 def main() -> None:
+    global GROUPS, CORES_PER_GROUP
     argv = sys.argv[1:]
     json_path = None
     if "--json" in argv:
@@ -96,6 +104,11 @@ def main() -> None:
             raise SystemExit("--json needs a filename")
         json_path = argv[i + 1]
         del argv[i : i + 2]
+    for flag, attr in (("--cores", "CORES_PER_GROUP"), ("--groups", "GROUPS")):
+        if flag in argv:
+            i = argv.index(flag)
+            globals()[attr] = int(argv[i + 1])
+            del argv[i : i + 2]
     args = [a for a in argv if a.isdigit()]
     total_rows = int(args[0]) if args else 4_000_000
     work = tempfile.mkdtemp(prefix="multijvm_", dir=WORK_ROOT)
@@ -152,12 +165,12 @@ def main() -> None:
             "total_rows": total_rows,
             "groups": GROUPS,
             "cores_per_group": CORES_PER_GROUP,
-            "baseline_1x8": {
+            f"baseline_1x{CORES_PER_GROUP}": {
                 "wall_sec": round(base["wall_sec"], 2),
                 "triples": base["triples"],
                 "triples_per_sec": round(base_thr, 1),
             },
-            "fleet_4x8": {
+            f"fleet_{GROUPS}x{CORES_PER_GROUP}": {
                 "parent_wall_sec": round(parent_wall, 2),
                 "max_child_wall_sec": round(fleet_wall, 2),
                 "child_walls_sec": [round(f["wall_sec"], 2) for f in fleet],
@@ -169,7 +182,9 @@ def main() -> None:
             "weak_scaling_efficiency": round(
                 base["wall_sec"] / fleet_wall, 3
             ),
-            "throughput_ratio_over_4": round(agg_thr / base_thr / GROUPS, 3),
+            "throughput_ratio_over_groups": round(
+                agg_thr / base_thr / GROUPS, 3
+            ),
         }
         print(json.dumps(result, indent=1))
         if json_path:
