@@ -86,7 +86,10 @@ def main() -> None:
     per_query = {n: round(_median(xs), 3) for n, xs in samples.items()}
 
     def _spread(xs: list[float]) -> float:
-        ss = xs[1:] if len(xs) >= 3 else xs
+        # rounds 2..N ONLY — round 1 carries first-use codegen, which must
+        # never be reported as host noise; with <3 reps there is at most
+        # one steady-state sample, so the spread is undefined → 0.0
+        ss = xs[1:]
         return (
             round(100 * (max(ss) - min(ss)) / _median(xs), 1)
             if len(ss) > 1

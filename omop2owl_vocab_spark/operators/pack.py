@@ -147,7 +147,21 @@ def pack_slices(
     """
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
-    first = F.floor(F.col("tok_start") / ctx_len).cast("long")
+    # guard against a ctx_len that disagrees with the upstream
+    # pack_documents call: the packed frame's own pack_id must equal the
+    # first overlapped window recomputed here — raise_error per row (one
+    # comparison; the when-branch feeds sequence(), so Catalyst cannot
+    # prune the check away) instead of silently cutting wrong windows
+    recomputed_first = F.floor(F.col("tok_start") / ctx_len).cast("long")
+    first = F.when(recomputed_first == F.col("pack_id"), recomputed_first).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pack_slices ctx_len={ctx_len} disagrees with the "
+                "pack_id column produced by pack_documents — pass the "
+                "same ctx_len to both"
+            )
+        ).cast("long")
+    )
     last = F.floor((F.col("tok_end") - 1) / ctx_len).cast("long")
     s = packed.filter(F.col("n_tokens") > 0).select(
         id_col,

@@ -374,18 +374,18 @@ def domain_flags(
 
     Domains come from one ``regexp_extract_all`` (group 1 of ``URL_RE`` —
     Java/RE2-common pattern, JVM codegen).  The blocklist is a plan-time
-    literal array (these lists are small dims — thousands of entries;
-    ``array_contains`` is a hash probe per element, no join, no shuffle).
-    For million-domain blocklists use a broadcast semi-join on an
-    exploded domain column instead.
+    literal set probed with ``isin`` — above Spark's InSet threshold (10
+    values) that compiles to one hash-set membership test per extracted
+    domain, no join, no shuffle.  For million-domain blocklists use a
+    broadcast semi-join on an exploded domain column instead.
 
     Multiplicity: ``n_blocked_domains`` counts OCCURRENCES — a document
     linking the same blocklisted domain three times counts 3, mirroring
     ``n_urls`` (``array_intersect`` would silently deduplicate)."""
     t = F.col(text_col)
     domains = F.regexp_extract_all(t, F.lit(URL_RE), 1)
-    blk = F.array(*[F.lit(b) for b in sorted(set(blocklist))])
-    blocked_hits = F.filter(domains, lambda d: F.array_contains(blk, d))
+    uniq = sorted(set(blocklist))
+    blocked_hits = F.filter(domains, lambda d: d.isin(*uniq))
     return df.select(
         F.col(id_col),
         F.size(domains).cast("long").alias("n_urls"),

@@ -107,6 +107,8 @@ def main() -> None:
     for flag, attr in (("--cores", "CORES_PER_GROUP"), ("--groups", "GROUPS")):
         if flag in argv:
             i = argv.index(flag)
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{flag} needs a value")
             globals()[attr] = int(argv[i + 1])
             del argv[i : i + 2]
     args = [a for a in argv if a.isdigit()]

@@ -58,18 +58,27 @@ print(json.dumps({{"wall_sec": wall, "triples": n,
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a.isdigit()]
-    rows = int(args[0]) if args else 32_000_000
-    cores = int(args[1]) if len(args) > 1 else 32
+    argv = sys.argv[1:]
 
     def opt(name: str, default: str) -> str:
-        return (
-            sys.argv[sys.argv.index(name) + 1] if name in sys.argv else default
-        )
+        # strip flag+value from argv so option values never leak into the
+        # positional digit scan below
+        if name not in argv:
+            return default
+        i = argv.index(name)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"{name} needs a value")
+        val = argv[i + 1]
+        del argv[i : i + 2]
+        return val
 
     mem = opt("--mem", "24g")
     buckets = int(opt("--buckets", "64"))
     out_path = opt("--json", "")
+
+    args = [a for a in argv if a.isdigit()]
+    rows = int(args[0]) if args else 32_000_000
+    cores = int(args[1]) if len(args) > 1 else 32
 
     work = tempfile.mkdtemp(prefix="robust_", dir=WORK_ROOT)
     try:

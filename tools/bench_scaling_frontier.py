@@ -117,7 +117,10 @@ def ceiling_pair(lo: int, hi: int) -> float:
 def main() -> None:
     def arg(name: str, default):
         if name in sys.argv:
-            return type(default)(sys.argv[sys.argv.index(name) + 1])
+            i = sys.argv.index(name)
+            if i + 1 >= len(sys.argv):
+                raise SystemExit(f"{name} needs a value")
+            return type(default)(sys.argv[i + 1])
         return default
 
     rows = arg("--rows", 4_000_000)
@@ -125,6 +128,11 @@ def main() -> None:
     lo = arg("--lo", 2)
     hi = arg("--hi", 8)
     names = arg("--configs", ",".join(CONFIGS)).split(",")
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:  # fail BEFORE the multi-minute gen + ceiling probe
+        raise SystemExit(
+            f"unknown config(s) {unknown}; valid: {', '.join(CONFIGS)}"
+        )
     out_path = arg("--json", "")
 
     work = tempfile.mkdtemp(prefix="frontier_src_", dir=WORK_ROOT)
