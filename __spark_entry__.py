@@ -1132,6 +1132,59 @@ FROM f
 """
 
 
+def _txt_vocab(spark, sf_dir):
+    """Corpus-global token vocabulary (top-200 by occurrence, total
+    tie-break): explode → partial-combining hash agg → TakeOrdered.
+    Exact n_docs distinct counts ride along."""
+    from omop2owl_vocab_spark.operators.text import token_vocab
+
+    return token_vocab(_t(spark, sf_dir, "documents"), top_k=200)
+
+
+_TXT_VOCAB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 200
+"""
+
+
+def _pipe_sample(spark, sf_dir):
+    """Deterministic k-per-stratum sample (md5 rank per doc, seed-keyed,
+    exact row_number window per language stratum)."""
+    from omop2owl_vocab_spark.operators.sample import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), k=25, strata_col="lang"
+    )
+
+
+_PIPE_SAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         md5('42:' || CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, sample_key,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY sample_key, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM r
+)
+SELECT doc_id, lang, sample_key, sample_rank FROM w WHERE sample_rank <= 25
+"""
+
+
 def _pipe_split(spark, sf_dir):
     """Deterministic train/val/test split: md5-bucket per doc (first byte,
     0..255), seed-keyed — hashing keeps the split stable under corpus
@@ -1972,7 +2025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_domains": _txt_domains,
         "txt_gopher": _txt_gopher,
         "txt_repetition": _txt_repetition,
+        "txt_vocab": _txt_vocab,
         "pipe_curation": _pipe_curation,
+        "pipe_sample": _pipe_sample,
         "pipe_split": _pipe_split,
         "pipe_pack": _pipe_pack,
         "pipe_pack_tokens": _pipe_pack_tokens,
@@ -2020,7 +2075,9 @@ def oracle_sql() -> dict[str, str]:
         "txt_domains": _TXT_DOMAINS_SQL,
         "txt_gopher": _TXT_GOPHER_SQL,
         "txt_repetition": _TXT_REPETITION_SQL,
+        "txt_vocab": _TXT_VOCAB_SQL,
         "pipe_curation": _build_pipe_curation_sql(),
+        "pipe_sample": _PIPE_SAMPLE_SQL,
         "pipe_split": _PIPE_SPLIT_SQL,
         "pipe_pack": _PIPE_PACK_SQL,
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,

@@ -59,6 +59,38 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def token_vocab(
+    df: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global token vocabulary: the ``top_k`` most frequent
+    whitespace tokens with occurrence and document frequencies — the
+    tokenizer-training / stopword-analysis primitive.
+
+    Plan shape for 100 TB: explode → hash-aggregate (map-side partial
+    combine collapses each task's token stream before the single
+    shuffle) → ``orderBy().limit()``, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k heaps, no global sort).
+    Tie-break is total (count desc, token asc) so the selected set is
+    deterministic.  ``n_docs`` is an exact distinct count per token —
+    the doc_id travels through the explode; swap in approx_count_distinct
+    when exactness isn't required at extreme cardinality."""
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    return (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-token-length
     quality signals (the usual pre-training filters)."""

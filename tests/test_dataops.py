@@ -662,6 +662,56 @@ def test_domain_flags(spark):
     assert got[4]["domains_csv"] == "bad.net"
 
 
+def test_token_vocab(spark):
+    """Top-k token vocabulary: occurrence + doc frequencies, total
+    deterministic tie-break, k cutoff."""
+    from pyspark.sql import Row
+
+    from omop2owl_vocab_spark.operators.text import token_vocab
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b b c  c c"),
+            Row(doc_id=2, text=" b c\tz"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    rows = [tuple(r) for r in token_vocab(df, top_k=3).collect()]
+    # c: 4 occ / 2 docs; b: 3 occ / 2 docs; a and z tie at 1 occ → 'a'
+    # wins the ascending-token tie-break
+    assert rows == [("c", 4, 2), ("b", 3, 2), ("a", 1, 1)]
+
+
+def test_stratified_sample(spark):
+    """k-per-stratum: exact counts, deterministic, seed-sensitive, and
+    strata smaller than k keep all rows."""
+    from omop2owl_vocab_spark.operators.sample import stratified_sample
+
+    docs = spark.range(230).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "en")
+        .when(F.col("id") < 200, "de")
+        .otherwise("fr")  # 30 rows < k
+        .alias("lang"),
+    )
+    out = stratified_sample(docs, k=40, strata_col="lang")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 40, "de": 40, "fr": 30}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, k=40, strata_col="lang").collect())
+    assert a == b  # deterministic
+    c = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, k=40, strata_col="lang", seed=7).collect()
+    )
+    assert a != c  # seed re-deals
+    ranks = {
+        (r["lang"], r["sample_rank"])
+        for r in out.collect()
+    }
+    assert all((l, i) in ranks for l in ("en", "de") for i in range(1, 41))
+
+
 def test_train_val_test_split(spark):
     """Split is deterministic, seed-sensitive, and roughly proportional."""
     from omop2owl_vocab_spark.operators.pack import train_val_test_split
