@@ -232,6 +232,18 @@ def test_pack_slices_no_extra_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
+def test_token_vocab_take_ordered(spark):
+    """Top-k must execute as TakeOrderedAndProject (per-partition heaps)
+    with a partial aggregate before the single token shuffle — a global
+    Sort node or a second exchange is a regression."""
+    from omop2owl_vocab_spark.operators.text import token_vocab
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(token_vocab(docs, top_k=100))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan, plan[:2000]
+
+
 def test_owl_fragments_single_aggregate(spark):
     """Per-class fragment assembly is ONE groupBy on subj — a second
     full-width exchange would mean string assembly escaped the aggregate."""
