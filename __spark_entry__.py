@@ -1132,6 +1132,78 @@ FROM f
 """
 
 
+# decontamination fixture: benchmark "suite" of 3 sentences; the first is
+# planted verbatim into every 17th corpus doc (10 sentinel tokens → at
+# n=6, exactly 5 distinct shared shingles per contaminated doc); the
+# third shares only a 3-token run with the plant (< n → zero hits)
+_DECON_BENCH_ROWS = [
+    (1, "sentinel alpha bravo charlie delta echo foxtrot golf hotel india"),
+    (2, "zulu yankee xray whiskey victor uniform tango papa oscar november"),
+    (3, "alpha bravo charlie mike lima kilo juliet hotelx golfx echox"),
+]
+
+
+def _dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over documents with planted leakage:
+    corpus×benchmark shared-n-gram pairs (n=6) — counts value-verified
+    against a full SQL re-shingling of both sides."""
+    from omop2owl_vocab_spark.operators.dedup import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        _plant(F.col("doc_id") % 17 == 0, F.lit(" " + _DECON_BENCH_ROWS[0][1])),
+    )
+    corpus = docs.select("doc_id", aug.alias("text"))
+    bench = spark.createDataFrame(_DECON_BENCH_ROWS, ["bench_id", "text"])
+    return ngram_overlap(corpus, bench, n=6)
+
+
+_DECON_BENCH_VALUES = ", ".join(
+    f"({i}, '{t}')" for i, t in _DECON_BENCH_ROWS
+)
+_DECON_SHINGLE = (
+    "list_transform(range(1, greatest(len(toks) - 5, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 5), ' '))"
+)
+
+_DD_DECONTAMINATE_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 17 = 0
+                 THEN ' {_DECON_BENCH_ROWS[0][1]}' ELSE '' END AS text
+  FROM documents
+),
+ct AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM aug
+),
+cs AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_DECON_SHINGLE}) AS shingle
+    FROM ct WHERE len(toks) >= 6
+  ) WHERE shingle <> ''
+),
+bt AS (
+  SELECT bench_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM (VALUES {_DECON_BENCH_VALUES}) AS v(bench_id, text)
+),
+bs AS (
+  SELECT DISTINCT bench_id, shingle FROM (
+    SELECT bench_id, unnest({_DECON_SHINGLE}) AS shingle
+    FROM bt WHERE len(toks) >= 6
+  ) WHERE shingle <> ''
+)
+SELECT cs.id AS doc_id, bs.bench_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM cs JOIN bs USING (shingle)
+GROUP BY cs.id, bs.bench_id
+"""
+
+
 def _txt_vocab(spark, sf_dir):
     """Corpus-global token vocabulary (top-200 by occurrence, total
     tie-break): explode → partial-combining hash agg → TakeOrdered.
@@ -2016,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_winnow": _dd_winnow,
         "dd_winnow_pairs": _dd_winnow_pairs,
         "dd_groups": _dd_groups,
+        "dd_decontaminate": _dd_decontaminate,
         "txt_corpus_stats": _txt_corpus_stats,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
@@ -2094,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_winnow": _DD_WINNOW_SQL,
         "dd_winnow_pairs": _DD_WINNOW_PAIRS_SQL,
         "dd_groups": _DD_GROUPS_SQL,
+        "dd_decontaminate": _DD_DECONTAMINATE_SQL,
         "sim_ann_bucketed": _SIM_ANN_BUCKETED_SQL,
         "sim_ivf_topk": _SIM_IVF_TOPK_SQL,
         "sim_near_dup_lsh": _SIM_NEAR_DUP_LSH_SQL,

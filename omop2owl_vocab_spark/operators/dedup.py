@@ -562,3 +562,45 @@ def simhash_near_duplicates(
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
     return _bucket_bounded_pairs(bands, max_bucket_size)
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: every (corpus doc, benchmark doc) pair
+    sharing ≥ ``min_hits`` distinct word n-grams — the standard check
+    that eval/test material has not leaked into training data.
+
+    Both sides shingle through :func:`word_shingles` (lowercased,
+    distinct per document, sub-``n`` documents produce none), then an
+    equi-join on the shingle string counts distinct shared n-grams per
+    pair.  Benchmark suites are small by construction, so the shingled
+    benchmark side broadcasts (``broadcast_benchmark=False`` for the
+    rare huge-suite case — the join falls back to AQE's choice) and the
+    corpus streams through map-side: one shuffle for the per-pair
+    aggregate, no corpus self-join anywhere.  Raise ``n`` (8–13 in
+    published pipelines) to trade recall for precision."""
+    if n <= 0 or min_hits <= 0:
+        raise ValueError("n and min_hits must be positive")
+    c = word_shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    b = word_shingles(
+        benchmark, n=n, text_col=text_col, id_col=bench_id_col
+    ).withColumnRenamed("id", "bench_id")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    # word_shingles emits each shingle once per document on BOTH sides,
+    # so count(*) per pair IS the distinct-shared-shingle count
+    return (
+        c.join(b, "shingle")
+        .groupBy("id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(F.col("id").alias(id_col), "bench_id", "n_hits")
+    )

@@ -662,6 +662,38 @@ def test_domain_flags(spark):
     assert got[4]["domains_csv"] == "bad.net"
 
 
+def test_ngram_overlap_decontamination(spark):
+    """Contaminated docs pair with the right benchmark row and the right
+    distinct-shingle count; sub-n overlaps and clean docs stay silent;
+    min_hits filters."""
+    from pyspark.sql import Row
+
+    from omop2owl_vocab_spark.operators.dedup import ngram_overlap
+
+    leak = "s1 s2 s3 s4 s5 s6 s7"  # 7 tokens → 4 distinct 4-gram shingles
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words {leak} outro"),
+            Row(doc_id=2, text="totally clean document body here"),
+            Row(doc_id=3, text="s1 s2 s3 only a three token brush"),
+            Row(doc_id=4, text=leak),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(bench_id=10, text=leak), Row(bench_id=11, text="b1 b2 b3 b4 b5")]
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_hits"]
+        for r in ngram_overlap(corpus, bench, n=4).collect()
+    }
+    assert got == {(1, 10): 4, (4, 10): 4}
+    # min_hits raises the bar
+    assert ngram_overlap(corpus, bench, n=4, min_hits=5).count() == 0
+    # the benchmark side broadcasts
+    plan = ngram_overlap(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_token_vocab(spark):
     """Top-k token vocabulary: occurrence + doc frequencies, total
     deterministic tie-break, k cutoff."""
