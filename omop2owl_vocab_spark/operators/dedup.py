@@ -586,21 +586,33 @@ def ngram_overlap(
     rare huge-suite case — the join falls back to AQE's choice) and the
     corpus streams through map-side: one shuffle for the per-pair
     aggregate, no corpus self-join anywhere.  Raise ``n`` (8–13 in
-    published pipelines) to trade recall for precision."""
+    published pipelines) to trade recall for precision.
+
+    Output schema: ``(id_col, bench_id_col, n_hits)`` — the benchmark id
+    keeps the caller's column name; ``id_col`` and ``bench_id_col`` must
+    therefore differ."""
     if n <= 0 or min_hits <= 0:
         raise ValueError("n and min_hits must be positive")
+    if id_col == bench_id_col:
+        raise ValueError(
+            "id_col and bench_id_col must differ — the output carries both"
+        )
     c = word_shingles(corpus, n=n, text_col=text_col, id_col=id_col)
     b = word_shingles(
         benchmark, n=n, text_col=text_col, id_col=bench_id_col
-    ).withColumnRenamed("id", "bench_id")
+    ).withColumnRenamed("id", "__bench_id")
     if broadcast_benchmark:
         b = F.broadcast(b)
     # word_shingles emits each shingle once per document on BOTH sides,
     # so count(*) per pair IS the distinct-shared-shingle count
     return (
         c.join(b, "shingle")
-        .groupBy("id", "bench_id")
+        .groupBy("id", "__bench_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
-        .select(F.col("id").alias(id_col), "bench_id", "n_hits")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__bench_id").alias(bench_id_col),
+            "n_hits",
+        )
     )

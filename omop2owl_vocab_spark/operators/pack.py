@@ -112,13 +112,22 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    return base.select(
+    out = base.select(
         id_col,
         "shard",
         "n_tokens",
         (cum - F.col("n_tokens")).alias("tok_start"),
         cum.alias("tok_end"),
-        ((cum - F.col("n_tokens")) / ctx_len).cast("long").alias("pack_id"),
+    )
+    # `div` is exact integral division on longs — no double round-trip, so
+    # pack_id stays correct past the 2^53 cumulative-token mark where
+    # float division would go off by one window.  ctx_len rides along as
+    # column metadata so pack_slices can verify it at plan time.
+    return out.select(
+        "*",
+        F.expr(f"tok_start div {int(ctx_len)}").alias(
+            "pack_id", metadata={"ctx_len": int(ctx_len)}
+        ),
     )
 
 
@@ -148,11 +157,23 @@ def pack_slices(
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
     # guard against a ctx_len that disagrees with the upstream
-    # pack_documents call: the packed frame's own pack_id must equal the
-    # first overlapped window recomputed here — raise_error per row (one
-    # comparison; the when-branch feeds sequence(), so Catalyst cannot
-    # prune the check away) instead of silently cutting wrong windows
-    recomputed_first = F.floor(F.col("tok_start") / ctx_len).cast("long")
+    # pack_documents call.  Primary check: pack_documents stamps ctx_len
+    # as metadata on the pack_id field — a plan-time, zero-cost, exact
+    # comparison that cannot be fooled by coincidentally-agreeing early
+    # windows.  Fallback (frames built by hand, e.g. read back from a
+    # store that drops metadata): per-row recompute of the first
+    # overlapped window vs the pack_id column — raise_error per row (the
+    # when-branch feeds sequence(), so Catalyst cannot prune the check
+    # away) instead of silently cutting wrong windows.
+    meta = packed.schema["pack_id"].metadata if "pack_id" in packed.columns else {}
+    stamped = meta.get("ctx_len")
+    if stamped is not None and int(stamped) != int(ctx_len):
+        raise ValueError(
+            f"pack_slices ctx_len={ctx_len} disagrees with the packed "
+            f"frame's ctx_len={stamped} (stamped by pack_documents) — "
+            "pass the same ctx_len to both"
+        )
+    recomputed_first = F.expr(f"tok_start div {int(ctx_len)}")
     first = F.when(recomputed_first == F.col("pack_id"), recomputed_first).otherwise(
         F.raise_error(
             F.lit(
@@ -162,7 +183,7 @@ def pack_slices(
             )
         ).cast("long")
     )
-    last = F.floor((F.col("tok_end") - 1) / ctx_len).cast("long")
+    last = F.expr(f"(tok_end - 1) div {int(ctx_len)}")
     s = packed.filter(F.col("n_tokens") > 0).select(
         id_col,
         "shard",

@@ -406,10 +406,11 @@ def domain_flags(
 
     Domains come from one ``regexp_extract_all`` (group 1 of ``URL_RE`` —
     Java/RE2-common pattern, JVM codegen).  The blocklist is a plan-time
-    literal set probed with ``isin`` — above Spark's InSet threshold (10
-    values) that compiles to one hash-set membership test per extracted
-    domain, no join, no shuffle.  For million-domain blocklists use a
-    broadcast semi-join on an exploded domain column instead.
+    literal set probed with ``isin`` — no join, no shuffle; for lists
+    above Spark's InSet threshold (10 values) the probe compiles to one
+    hash-set membership test per extracted domain, below it a short
+    ``In`` chain (equally shuffle-free).  For million-domain blocklists
+    use a broadcast semi-join on an exploded domain column instead.
 
     Multiplicity: ``n_blocked_domains`` counts OCCURRENCES — a document
     linking the same blocklisted domain three times counts 3, mirroring

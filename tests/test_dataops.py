@@ -884,3 +884,77 @@ def test_pack_slices_invariants(spark):
             assert 0 < tot <= 64
         else:
             assert tot == 64, (shard, pid, tot)
+
+
+def test_pack_slices_ctx_len_guard(spark):
+    """A mismatched ctx_len is rejected at PLAN time via the ctx_len
+    metadata pack_documents stamps on pack_id — even when the recomputed
+    first windows would coincidentally agree (tok_start=0 rows), the
+    historical blind spot of the row-level check."""
+    import pytest
+
+    from omop2owl_vocab_spark.operators.pack import pack_documents, pack_slices
+
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"), F.lit(3).cast("long").alias("n_tokens")
+    )
+    packed = pack_documents(docs, ctx_len=64, n_shards=2, n_tokens_col="n_tokens")
+    assert packed.schema["pack_id"].metadata["ctx_len"] == 64
+    with pytest.raises(ValueError, match="disagrees"):
+        pack_slices(packed, ctx_len=128)
+    # matching ctx_len still slices
+    assert pack_slices(packed, ctx_len=64).count() == 8
+
+
+def test_pack_slices_row_guard_without_metadata(spark):
+    """Frames that lost the ctx_len metadata (hand-built / read back from
+    a metadata-dropping store) still hit the per-row recompute guard."""
+    import pytest
+
+    from omop2owl_vocab_spark.operators.pack import pack_slices
+
+    bare = spark.createDataFrame(
+        [(1, 0, 200, 264, 2)],  # pack_id=2 is right for ctx=100; 200 div 64 = 3
+        "doc_id long, shard long, tok_start long, tok_end long, pack_id long",
+    )
+    with pytest.raises(Exception, match="disagrees"):
+        pack_slices(bare.withColumn("n_tokens", F.lit(64)), ctx_len=64).collect()
+
+
+def test_pack_id_exact_integer_division(spark):
+    """pack_id survives token offsets past 2^53, where double-precision
+    division can land in the wrong window (ADVICE r4)."""
+    from omop2owl_vocab_spark.operators.pack import pack_slices
+
+    big = (1 << 55) + 1  # float64 cannot represent 2^55+1 exactly
+    ctx = 2048
+    bare = spark.createDataFrame(
+        [(1, 0, big, big + 10, big // ctx, 10)],
+        "doc_id long, shard long, tok_start long, tok_end long, "
+        "pack_id long, n_tokens long",
+    )
+    rows = pack_slices(bare, ctx_len=ctx).collect()
+    assert len(rows) == 1 and rows[0]["pack_id"] == big // ctx
+    assert rows[0]["pack_tok_start"] == big % ctx
+
+
+def test_ngram_overlap_custom_bench_id_col(spark):
+    """Output benchmark column keeps the caller's name (ADVICE r4), and
+    id_col == bench_id_col is rejected."""
+    import pytest
+
+    from omop2owl_vocab_spark.operators.dedup import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(7, "quick brown fox jumps over the lazy dog and cat")],
+        "eval_id long, text string",
+    )
+    out = ngram_overlap(corpus, bench, n=8, bench_id_col="eval_id")
+    assert out.columns == ["doc_id", "eval_id", "n_hits"]
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="must differ"):
+        ngram_overlap(corpus, bench, n=8, bench_id_col="doc_id")
