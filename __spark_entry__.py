@@ -1420,6 +1420,65 @@ FROM s
 """
 
 
+def _pipe_pack_bpe(spark, sf_dir):
+    """Sequence packing against REAL tokenizer-exact counts produced by
+    the greedy longest-prefix subword tokenizer (pure JVM fold — no UDF):
+    tokenizer → n_tokens column → pack_documents(n_tokens_col=...), the
+    full production flow.  The oracle re-tokenizes every distinct word
+    with a DuckDB recursive CTE against the identical piece vocabulary,
+    then replays the shard/cumsum/pack arithmetic — both engines agree
+    bit-for-bit on counts AND windows."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents
+    from omop2owl_vocab_spark.operators.tokenize import subword_token_counts
+
+    counts = subword_token_counts(_t(spark, sf_dir, "documents"))
+    return pack_documents(counts, n_tokens_col="n_tokens")
+
+
+def _build_pipe_pack_bpe_sql() -> str:
+    from omop2owl_vocab_spark.operators.tokenize import subword_vocab_sql_values
+
+    return f"""
+WITH RECURSIVE w0 AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS w
+  FROM documents
+),
+uw AS (SELECT DISTINCT w FROM w0),
+vocab(piece) AS (VALUES {subword_vocab_sql_values()}),
+tok AS (
+  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS cnt FROM uw
+  UNION ALL
+  SELECT w, pos + ml, cnt + 1 FROM (
+    SELECT w, pos, cnt,
+      COALESCE((SELECT max(length(piece)) FROM vocab v
+                WHERE substr(w, pos, length(piece)) = piece), 1) AS ml
+    FROM tok WHERE pos <= length(w))
+),
+wc AS (SELECT w, cnt FROM tok WHERE pos > length(w)),
+t AS (
+  SELECT doc_id,
+         CAST(16 * ({_SNIB.format(pos=1)})
+              + ({_SNIB.format(pos=2)}) AS BIGINT) % 8 AS shard,
+         CAST(COALESCE(SUM(wc.cnt), 0) AS BIGINT) AS n_tokens
+  FROM documents LEFT JOIN w0 USING (doc_id) LEFT JOIN wc USING (w)
+  GROUP BY doc_id
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS tok_end
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       tok_end - n_tokens AS tok_start, tok_end,
+       CAST((tok_end - n_tokens) // 2048 AS BIGINT) AS pack_id
+FROM c
+"""
+
+
 # --------------------------------------------------------- similarity ops
 
 
@@ -2105,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_pack": _pipe_pack,
         "pipe_pack_tokens": _pipe_pack_tokens,
         "pipe_pack_slices": _pipe_pack_slices,
+        "pipe_pack_bpe": _pipe_pack_bpe,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
@@ -2155,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack": _PIPE_PACK_SQL,
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
+        "pipe_pack_bpe": _build_pipe_pack_bpe_sql(),
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,
