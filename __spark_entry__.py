@@ -2111,6 +2111,58 @@ LEFT JOIN cnt c ON c.media_id = b.media_id AND c.bin = b.bin
 """
 
 
+def _sim_recall(spark, sf_dir):
+    """ANN recall as a first-class metric (r4 verdict #4): hyperplane LSH
+    and IVF top-10 measured against brute-force cosine ground truth on a
+    50-query sample — one row per method with micro-averaged recall_e4.
+    The oracle composes the three existing per-method SQL re-derivations
+    (widened to the 50-query set) and replays the intersection counts."""
+    from omop2owl_vocab_spark.operators.similarity import ann_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_recall(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        k=10,
+        dim=64,
+        centroids=emb.filter(F.col("vec_id") < 16),
+        nprobe=2,
+    )
+
+
+def _build_sim_recall_sql() -> str:
+    # widen each method's committed oracle from the 5-query standalone
+    # set to sim_recall's 50-query set; assert the predicate actually
+    # rewrote so a drift in the source constants cannot silently produce
+    # a 5-query recall
+    cos = _SIM_COSINE_TOPK_SQL.replace("vec_id < 5", "vec_id < 50")
+    ann = _SIM_ANN_BUCKETED_SQL.replace("vec_id < 5", "vec_id < 50")
+    ivf = _SIM_IVF_TOPK_SQL.replace("pr <= 2 AND id < 5", "pr <= 2 AND id < 50")
+    assert cos != _SIM_COSINE_TOPK_SQL
+    assert ann != _SIM_ANN_BUCKETED_SQL
+    assert ivf != _SIM_IVF_TOPK_SQL
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({cos})),
+a_hyp AS (SELECT query_id, neighbor_id FROM ({ann})),
+a_ivf AS (SELECT query_id, neighbor_id FROM ({ivf})),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_truth,
+              CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+       FROM truth),
+h AS (
+  SELECT 'hyperplane' AS method, COUNT(*) AS hits
+  FROM a_hyp JOIN truth USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'ivf' AS method, COUNT(*) AS hits
+  FROM a_ivf JOIN truth USING (query_id, neighbor_id)
+)
+SELECT h.method, CAST(10 AS BIGINT) AS k, tt.n_queries, tt.total_truth,
+       CAST(h.hits AS BIGINT) AS total_hits,
+       CAST(floor(CAST(h.hits AS DOUBLE) / tt.total_truth * 10000 + 0.5)
+            AS BIGINT) AS recall_e4
+FROM h CROSS JOIN tt
+"""
+
+
 # ---------------------------------------------------------------- exports
 
 
@@ -2171,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_bucketed": _sim_ann_bucketed,
         "sim_ivf_topk": _sim_ivf_topk,
         "sim_near_dup_lsh": _sim_near_dup_lsh,
+        "sim_recall": _sim_recall,
         "mm_features": _mm_features,
     }
 
@@ -2232,5 +2285,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_bucketed": _SIM_ANN_BUCKETED_SQL,
         "sim_ivf_topk": _SIM_IVF_TOPK_SQL,
         "sim_near_dup_lsh": _SIM_NEAR_DUP_LSH_SQL,
+        "sim_recall": _build_sim_recall_sql(),
         "mm_features": _MM_FEATURES_SQL,
     }

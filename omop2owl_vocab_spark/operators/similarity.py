@@ -400,3 +400,96 @@ def embedding_near_duplicates(
             F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long").alias("cos_e4"),
         )
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    n_bits: int = 8,
+    probes: int = 0,
+    centroids: DataFrame | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality as a first-class, queryable metric: one row per
+    approximate method with its top-``k`` recall against the brute-force
+    :func:`cosine_topk` ground truth on the same (corpus, queries).
+
+    Output: ``(method, k, n_queries, total_truth, total_hits,
+    recall_e4)`` where ``recall_e4 = floor(total_hits / total_truth *
+    10000 + 0.5)`` — the MICRO-averaged recall (one exact division over
+    summed counts, not a mean of per-query ratios), chosen so an
+    engine-portable oracle reproduces it bit-for-bit.  Methods:
+    ``hyperplane`` (:func:`ann_topk_bucketed`, always) and ``ivf``
+    (:func:`ivf_topk`, when ``centroids`` is given).
+
+    Scale posture: this is an EVALUATION operator — run it on a sampled
+    query set (10²-10⁴ queries), never the full corpus, because ground
+    truth is brute force by construction.  The truth pair set
+    (n_queries x k rows) is persisted once and broadcast into each
+    method's semi-join; all heavy lifting stays in the underlying
+    operators' bucketed plans.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    truth = (
+        cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    approx: dict[str, DataFrame] = {
+        "hyperplane": ann_topk_bucketed(
+            corpus, queries, k=k, n_bits=n_bits, dim=dim, probes=probes,
+            id_col=id_col, vec_col=vec_col,
+        )
+    }
+    if centroids is not None:
+        approx["ivf"] = ivf_topk(
+            corpus, queries, centroids, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    labeled = None
+    for method, df in approx.items():
+        part = df.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id"
+        )
+        labeled = part if labeled is None else labeled.unionByName(part)
+    hits = (
+        labeled.join(
+            F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi"
+        )
+        .groupBy("method")
+        .agg(F.count("*").cast("long").alias("total_hits"))
+    )
+    totals = truth.agg(
+        F.count("*").cast("long").alias("total_truth"),
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+    )
+    methods_dim = corpus.sparkSession.createDataFrame(
+        [(m,) for m in approx], "method string"
+    )
+    return (
+        methods_dim.join(hits, "method", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "method",
+            F.lit(k).cast("long").alias("k"),
+            "n_queries",
+            "total_truth",
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias(
+                "total_hits"
+            ),
+            F.when(
+                F.col("total_truth") > 0,
+                F.floor(
+                    F.coalesce(F.col("total_hits"), F.lit(0))
+                    / F.col("total_truth")
+                    * 10000
+                    + F.lit(0.5)
+                ),
+            ).cast("long").alias("recall_e4"),
+        )
+    )

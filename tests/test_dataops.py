@@ -172,6 +172,32 @@ def test_ann_recall_vs_brute_force(spark, vectors):
     assert 4 in neighbors
 
 
+def test_ann_recall_operator(spark, vectors):
+    """ann_recall emits one row per method; IVF probing ALL centroid
+    lists equals brute force → recall_e4 == 10000 exactly, and the
+    hyperplane row stays within [0, 10000] with consistent counts."""
+    cent = vectors.filter(F.col("vec_id") <= 2)
+    out = S.ann_recall(
+        vectors,
+        vectors,
+        k=2,
+        dim=3,
+        n_bits=4,
+        centroids=cent,
+        nprobe=2,  # == n_centroids → full probe
+    )
+    rows = {r["method"]: r for r in out.collect()}
+    assert set(rows) == {"hyperplane", "ivf"}
+    assert rows["ivf"]["recall_e4"] == 10000
+    assert rows["ivf"]["total_hits"] == rows["ivf"]["total_truth"]
+    hyp = rows["hyperplane"]
+    assert 0 <= hyp["recall_e4"] <= 10000
+    assert hyp["total_hits"] <= hyp["total_truth"]
+    assert hyp["n_queries"] == vectors.count()
+    with pytest.raises(ValueError, match="k must be positive"):
+        S.ann_recall(vectors, vectors, k=0, dim=3)
+
+
 def test_ann_requires_explicit_dim(spark, vectors):
     with pytest.raises(ValueError, match="dim"):
         S.hyperplane_buckets(vectors, n_bits=4).collect()
