@@ -2167,7 +2167,24 @@ FROM h CROSS JOIN tt
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness truncates at the
+    # first 50 entries (observed r4), so the newest / least-proven
+    # queries lead and long-stable r1 relational basics (q_filter, q_isin,
+    # q_distinct, q_sort_limit, q_semi_join — unchanged and green since
+    # round 1) sit at the tail.  tools/check_oracle.py still checks ALL
+    # entries each round → CORRECTNESS_FULL_r05.json.
     return {
+        # newest (r5): tokenizer-exact packing + ANN recall metric
+        "pipe_pack_bpe": _pipe_pack_bpe,
+        "sim_recall": _sim_recall,
+        # r4 additions + the two the r4 driver window dropped
+        "dd_decontaminate": _dd_decontaminate,
+        "txt_vocab": _txt_vocab,
+        "pipe_sample": _pipe_sample,
+        "pipe_pack_tokens": _pipe_pack_tokens,
+        "pipe_pack_slices": _pipe_pack_slices,
+        "sim_near_dup_lsh": _sim_near_dup_lsh,
+        "mm_features": _mm_features,
         # KG engine (SURVEY §2 core)
         "kg_full_emission": _kg_full_emission,
         "kg_concept_unpivot": _kg_concept_unpivot,
@@ -2176,13 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": _kg_adjacency,
         "kg_connected_components": _kg_connected_components,
         # relational operator inventory (F/J/A/O/U/X families)
-        "q_filter": _q_filter,
-        "q_isin": _q_isin,
-        "q_semi_join": _q_semi_join,
         "q_anti_join": _q_anti_join,
         "q_union_distinct": _q_union_distinct,
-        "q_distinct": _q_distinct,
-        "q_sort_limit": _q_sort_limit,
         "q_groupby_agg": _q_groupby_agg,
         "q_join_agg": _q_join_agg,
         "q_first_order": _q_first_order,
@@ -2199,7 +2211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_winnow": _dd_winnow,
         "dd_winnow_pairs": _dd_winnow_pairs,
         "dd_groups": _dd_groups,
-        "dd_decontaminate": _dd_decontaminate,
         "txt_corpus_stats": _txt_corpus_stats,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
@@ -2209,22 +2220,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_domains": _txt_domains,
         "txt_gopher": _txt_gopher,
         "txt_repetition": _txt_repetition,
-        "txt_vocab": _txt_vocab,
         "pipe_curation": _pipe_curation,
-        "pipe_sample": _pipe_sample,
         "pipe_split": _pipe_split,
         "pipe_pack": _pipe_pack,
-        "pipe_pack_tokens": _pipe_pack_tokens,
-        "pipe_pack_slices": _pipe_pack_slices,
-        "pipe_pack_bpe": _pipe_pack_bpe,
         "sim_norms": _sim_norms,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_near_dup_exact": _sim_near_dup_exact,
         "sim_ann_bucketed": _sim_ann_bucketed,
         "sim_ivf_topk": _sim_ivf_topk,
-        "sim_near_dup_lsh": _sim_near_dup_lsh,
-        "sim_recall": _sim_recall,
-        "mm_features": _mm_features,
+        # long-stable r1 relational basics — the driver's 50-entry window
+        # may drop these; tools/check_oracle.py covers them every round
+        "q_filter": _q_filter,
+        "q_isin": _q_isin,
+        "q_distinct": _q_distinct,
+        "q_sort_limit": _q_sort_limit,
+        "q_semi_join": _q_semi_join,
     }
 
 

@@ -41,7 +41,11 @@ def value_hash(cols, rows) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    only: list[str] | None = None,
+    json_out: str | None = None,
+):
     spark = get_spark(
         "oracle-check", master="local[8]",
         extra_conf={"spark.sql.shuffle.partitions": "8"},
@@ -54,6 +58,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -63,9 +68,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error {type(e).__name__}: {e}",
+            }
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(rows), "oracle_rows": None,
+                "err": "rows-only (no oracle)",
+            }
             print(f"rows-only  {name}: {len(rows)} rows, cols={cols}")
             continue
         try:
@@ -74,11 +89,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             orows = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(rows),
+                "oracle_rows": None, "err": f"duckdb error {e}",
+            }
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         ok_n = len(rows) == len(orows)
         ok_c = sorted(cols) == sorted(ocols)
         ok_h = ok_c and value_hash(cols, rows) == value_hash(ocols, orows)
+        results[name] = {
+            "rows_match": ok_n, "schema_match": ok_c, "hash_match": ok_h,
+            "spark_rows": len(rows), "oracle_rows": len(orows), "err": None,
+        }
         status = "OK   " if (ok_n and ok_c and ok_h) else "FAIL "
         if status.startswith("FAIL"):
             failures.append(name)
@@ -100,9 +124,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             print(f"      engine-only: {diff1}")
             print(f"      oracle-only: {diff2}")
     print("\nFAILURES:", failures or "none")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
-    raise SystemExit(main(only=only))
+    only = None
+    json_out = None
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--json":
+            json_out = args.pop(0)
+        else:
+            only = a.split(",")
+    raise SystemExit(main(only=only, json_out=json_out))
