@@ -14,10 +14,13 @@ rounds; ``noise_pct`` carries the per-query (max−min)/median spread so
 round-over-round deltas can be read against measured variance instead of
 guessed (this VM has shown ±30–40 % single-shot swings).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept < ~1.9 kB so the driver's stdout tail
+window always contains it whole — the r4 line with inline noise_pct
+outgrew the window and was archived unparsed):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: median sec, ...}, "noise_pct": {name: pct, ...},
-   "reps": N, "sf": ..., "pipeline": {...}}
+   "queries": {name: median sec, ...}, "sf": ..., "pipeline": {...}}
+The full record (per-query noise_pct, reps) is written to
+``BENCH_FULL_LOCAL.json`` beside this file.
 
 Execution is forced with the noop data source (full computation, no
 driver-side collect overhead).
@@ -139,26 +142,46 @@ def main() -> None:
     per_query["pipeline_e2e"] = round(pipeline_sec, 3)
     noise_pct["pipeline_e2e"] = _spread(pipe_samples)
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "noise_pct": noise_pct,
-                "reps": REPS,
-                "sf": sf,
-                "pipeline": {
-                    "rows_in": PIPELINE_ROWS,
-                    "triples_out": n_triples,
-                    "sec": round(pipeline_sec, 3),
-                    "triples_per_sec": round(n_triples / pipeline_sec, 1),
-                },
-                "cpus": int(cpus),
-            }
-        )
+    pipeline = {
+        "rows_in": PIPELINE_ROWS,
+        "triples_out": n_triples,
+        "sec": round(pipeline_sec, 3),
+        "triples_per_sec": round(n_triples / pipeline_sec, 1),
+    }
+    # full record (per-query noise, reps) → sidecar file; the driver
+    # captures only the last ~2000 bytes of stdout, and the r4 line with
+    # noise_pct inline outgrew that window and was recorded unparsed
+    # (BENCH_r04.json "parsed": null).  The stdout line stays compact and
+    # LAST so the tail window always contains one whole JSON line.
+    full = {
+        "metric": "bench_total_sec", "value": total, "unit": "sec",
+        "queries": per_query, "noise_pct": noise_pct, "reps": REPS,
+        "sf": sf, "pipeline": pipeline, "cpus": int(cpus),
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"
     )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the result
+    compact = {
+        "metric": "bench_total_sec", "value": total, "unit": "sec",
+        "queries": {n: round(s, 2) for n, s in per_query.items()},
+        "sf": sf, "pipeline": pipeline, "cpus": int(cpus),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact["queries"] = {
+            n: round(s, 2)
+            for n, s in sorted(
+                per_query.items(), key=lambda kv: -kv[1]
+            )[:40]
+        }
+        compact["queries_truncated_to_top"] = 40
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,17 @@ LANGS = ["python", "java", "go", "js", "rs", "c"]
 _EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "rs": "rs", "c": "c"}
 
 
-def synth_code_files(spark: SparkSession, n_rows: int, n_repos: int = 8) -> DataFrame:
+def synth_code_files(
+    spark: SparkSession,
+    n_rows: int,
+    n_repos: int = 8,
+    lang_cuts: tuple[int, int, int, int, int] = (55, 80, 85, 90, 95),
+) -> DataFrame:
+    """``lang_cuts`` are the cumulative percent thresholds for
+    python/java/go/js/rs (remainder = c).  The default reproduces the
+    documented ≈55/25/5/5/5/5 skew; pass e.g. ``(90, 92, 94, 96, 98)``
+    for the pathological one-giant-vocab corpus the skew A/B bench uses
+    (the SNOMED analog at its worst)."""
     df = spark.range(n_rows).select(F.col("id").alias("i"))
 
     # duplicate-content key: rows 19 mod 20 repeat the previous row's content
@@ -30,13 +40,14 @@ def synth_code_files(spark: SparkSession, n_rows: int, n_repos: int = 8) -> Data
         F.col("i")
     )
     # skewed lang from a seeded hash bucket
+    c1, c2, c3, c4, c5 = lang_cuts
     bucket = F.pmod(F.xxhash64(F.col("i"), F.lit(42)), F.lit(100))
     lang = (
-        F.when(bucket < 55, "python")
-        .when(bucket < 80, "java")
-        .when(bucket < 85, "go")
-        .when(bucket < 90, "js")
-        .when(bucket < 95, "rs")
+        F.when(bucket < c1, "python")
+        .when(bucket < c2, "java")
+        .when(bucket < c3, "go")
+        .when(bucket < c4, "js")
+        .when(bucket < c5, "rs")
         .otherwise("c")
     )
     ext = (
