@@ -1435,6 +1435,37 @@ def _pipe_pack_bpe(spark, sf_dir):
     return pack_documents(counts, n_tokens_col="n_tokens")
 
 
+def _txt_subword_vocab(spark, sf_dir):
+    """Corpus-derived subword merge table: top-64 character n-grams
+    (lengths 2-4) over all word occurrences, ranked by the total order
+    (count desc, piece asc) so the top-k cut is deterministic in both
+    engines — the `token_vocab`-style learned vocabulary the greedy
+    tokenizer (pipe_pack_bpe) matches against."""
+    from omop2owl_vocab_spark.operators.tokenize import subword_vocab_from_corpus
+
+    return subword_vocab_from_corpus(_t(spark, sf_dir, "documents"))
+
+
+_TXT_SUBWORD_VOCAB_SQL = """
+WITH w0 AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS w
+  FROM documents
+),
+p AS (
+  SELECT substr(w, CAST(pos AS INT), CAST(L AS INT)) AS piece
+  FROM (
+    SELECT w, L, unnest(generate_series(1, length(w) - L + 1)) AS pos
+    FROM w0 CROSS JOIN (SELECT unnest([2, 3, 4]) AS L)
+    WHERE length(w) >= L
+  )
+)
+SELECT piece, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p GROUP BY piece
+ORDER BY n_occurrences DESC, piece ASC LIMIT 64
+"""
+
+
 def _build_pipe_pack_bpe_sql() -> str:
     from omop2owl_vocab_spark.operators.tokenize import subword_vocab_sql_values
 
@@ -2176,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # newest (r5): tokenizer-exact packing + ANN recall metric
         "pipe_pack_bpe": _pipe_pack_bpe,
+        "txt_subword_vocab": _txt_subword_vocab,
         "sim_recall": _sim_recall,
         # r4 additions + the two the r4 driver window dropped
         "dd_decontaminate": _dd_decontaminate,
@@ -2279,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
         "pipe_pack_bpe": _build_pipe_pack_bpe_sql(),
+        "txt_subword_vocab": _TXT_SUBWORD_VOCAB_SQL,
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,

@@ -125,6 +125,62 @@ def subword_token_counts(
     return df.select(F.col(id_col), n_tok.alias(out_col))
 
 
+def subword_vocab_from_corpus(
+    df: DataFrame,
+    n_pieces: int = 64,
+    min_len: int = 2,
+    max_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Derive the subword piece vocabulary FROM the corpus — the
+    `token_vocab`-style merge table the tokenizer then matches against:
+    the ``n_pieces`` most frequent character n-grams (lengths
+    ``min_len``..``max_len``) across all word occurrences, ranked by a
+    TOTAL order (count desc, piece asc) so the cut at ``n_pieces`` is
+    deterministic and engine-portable (the DuckDB oracle re-derives the
+    identical set).
+
+    Plan shape: explode words → explode per-position substrings (both
+    narrow, O(len x n_lengths) per word) → one partial-combining hash
+    aggregate on the piece → TakeOrderedAndProject for the top-k — the
+    same no-global-sort shape as ``token_vocab`` (plan-pinned there).
+    Output: ``(piece, n_occurrences)``.  Feed ``[r.piece for r in
+    ...collect()]`` into :func:`subword_token_counts`.
+    """
+    if not (1 <= min_len <= max_len):
+        raise ValueError("need 1 <= min_len <= max_len")
+    if n_pieces <= 0:
+        raise ValueError("n_pieces must be positive")
+    words = F.explode(
+        F.filter(F.split(F.trim(F.col(text_col)), RE2_WS + "+"), lambda t: t != "")
+    ).alias("w")
+    w = F.col("w")
+    pieces = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(min_len), F.lit(max_len)),
+                # guard: Spark's sequence(1, n) DESCENDS when n < 1, so a
+                # word shorter than L must yield an empty array, not [1,0]
+                lambda L: F.when(
+                    F.length(w) >= L,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(w) - L + 1),
+                        lambda p: F.substring(w, p, L),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
+    ).alias("piece")
+    return (
+        df.select(words)
+        .select(pieces)
+        .groupBy("piece")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("piece"))
+        .limit(n_pieces)
+    )
+
+
 def subword_vocab_sql_values(vocab: list[str] | tuple[str, ...] | None = None) -> str:
     """The vocabulary as a SQL ``VALUES`` list — oracle-side twin so a
     DuckDB recursive-CTE re-derivation tokenizes against the identical

@@ -11,6 +11,7 @@ from omop2owl_vocab_spark.operators.pack import pack_documents, pack_slices
 from omop2owl_vocab_spark.operators.tokenize import (
     DEFAULT_SUBWORD_VOCAB,
     subword_token_counts,
+    subword_vocab_from_corpus,
     subword_vocab_sql_values,
 )
 
@@ -68,6 +69,64 @@ def test_subword_counts_custom_vocab_and_validation(spark):
 def test_subword_vocab_sql_values_quotes_and_dedups():
     vals = subword_vocab_sql_values(["ab", "ab", "o'k"])
     assert vals == "('ab'), ('o''k')"
+
+
+def test_subword_vocab_from_corpus(spark):
+    """Derived pieces are exactly the most frequent character n-grams
+    under the (count desc, piece asc) total order; words shorter than a
+    piece length contribute nothing at that length (the sequence(1,0)
+    descending-sequence trap)."""
+    df = spark.createDataFrame(
+        [(1, "aaab aaab z"), (2, "aaab")], "doc_id long, text string"
+    )
+    rows = subword_vocab_from_corpus(
+        df, n_pieces=4, min_len=2, max_len=3
+    ).collect()
+    got = [(r["piece"], r["n_occurrences"]) for r in rows]
+    # per 'aaab' (x3): aa x2, ab x1, aaa x1, aab x1; 'z' too short for 2
+    assert got == [("aa", 6), ("aaa", 3), ("aab", 3), ("ab", 3)]
+    with pytest.raises(ValueError, match="n_pieces"):
+        subword_vocab_from_corpus(df, n_pieces=0)
+    with pytest.raises(ValueError, match="min_len"):
+        subword_vocab_from_corpus(df, min_len=3, max_len=2)
+
+
+def test_subword_vocab_roundtrip_into_tokenizer(spark):
+    """The corpus-derived merge table drives the greedy tokenizer: a
+    learned-vocab tokenization end-to-end, counts matching the Python
+    reference on the derived pieces."""
+    docs = spark.createDataFrame(
+        [(i, "the spark table streams data " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    pieces = [
+        r["piece"]
+        for r in subword_vocab_from_corpus(docs, n_pieces=16).collect()
+    ]
+    assert len(pieces) == 16 and all(2 <= len(p) <= 4 for p in pieces)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in subword_token_counts(docs, vocab=pieces).collect()
+    }
+    expect = _py_count("the spark table streams data " * 3, pieces)
+    assert all(v == expect for v in got.values())
+    # learned pieces must compress vs single-char fallback
+    n_chars = sum(len(w) for w in ("the spark table streams data ".split()) * 3)
+    assert expect < n_chars
+
+
+def test_subword_vocab_topk_plan_no_global_sort(spark):
+    """The top-k cut must compile to TakeOrderedAndProject (heap-based),
+    never a global Sort — the same pin token_vocab carries."""
+    df = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+    plan = (
+        subword_vocab_from_corpus(df, n_pieces=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
 
 
 def test_pack_slices_invariants_on_bpe_counts(spark):
