@@ -432,6 +432,14 @@ def ann_recall(
     (n_queries x k rows) is persisted once and broadcast into each
     method's semi-join; all heavy lifting stays in the underlying
     operators' bucketed plans.
+
+    Cache lifetime (same contract as ``curation_decision``): the
+    persisted truth frame must stay registered while the returned plan
+    is alive, so this function cannot unpersist it.  A sweep calling
+    ``ann_recall`` repeatedly (recall curves) should
+    ``spark.catalog.clearCache()`` between calls — each call otherwise
+    leaves one small (n_queries x k) cached frame behind for the
+    session.
     """
     if k <= 0:
         raise ValueError("k must be positive")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from omop2owl_vocab_spark.operators.text import RE2_WS
+from omop2owl_vocab_spark.operators.text import _tokens
 
 #: Default subword pieces (lengths 2-4).  A fixed, plan-time literal
 #: vocabulary: real pipelines would derive one from `token_vocab` /
@@ -95,9 +95,11 @@ def subword_token_counts(
         seen.add(p)
         by_len.setdefault(len(p), []).append(p)
 
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), RE2_WS + "+"), lambda t: t != ""
-    )
+    # the shared corpus word-split (text.py:_tokens — the oracle design
+    # depends on every operator using the identical RE2 split); NULL text
+    # normalizes to zero tokens (F1 convention), matching the oracle's
+    # LEFT JOIN + COALESCE(SUM, 0)
+    words = _tokens(F.coalesce(F.col(text_col), F.lit("")))
 
     def word_tokens(w: Column) -> Column:
         zero = F.struct(
@@ -152,7 +154,7 @@ def subword_vocab_from_corpus(
     if n_pieces <= 0:
         raise ValueError("n_pieces must be positive")
     words = F.explode(
-        F.filter(F.split(F.trim(F.col(text_col)), RE2_WS + "+"), lambda t: t != "")
+        _tokens(F.coalesce(F.col(text_col), F.lit("")))
     ).alias("w")
     w = F.col("w")
     pieces = F.explode(

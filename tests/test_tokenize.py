@@ -71,6 +71,19 @@ def test_subword_vocab_sql_values_quotes_and_dedups():
     assert vals == "('ab'), ('o''k')"
 
 
+def test_subword_counts_null_text_is_zero(spark):
+    """NULL text normalizes to 0 tokens (F1 convention) — matching the
+    oracle's LEFT JOIN + COALESCE(SUM, 0), so a NULL-text doc packs as a
+    zero-token row instead of vanishing (review finding r5)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "the data")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in subword_token_counts(df).collect()}
+    assert got[1] == 0 and got[2] > 0
+    # and the vocab derivation ignores NULL docs rather than erroring
+    assert subword_vocab_from_corpus(df, n_pieces=4).count() == 4
+
+
 def test_subword_vocab_from_corpus(spark):
     """Derived pieces are exactly the most frequent character n-grams
     under the (count desc, piece asc) total order; words shorter than a

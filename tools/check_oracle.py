@@ -140,7 +140,13 @@ if __name__ == "__main__":
     while args:
         a = args.pop(0)
         if a == "--json":
+            if not args:
+                raise SystemExit("usage: check_oracle.py [name,name,...] [--json OUT.json]")
             json_out = args.pop(0)
+        elif a.startswith("-"):
+            raise SystemExit(f"unknown flag {a!r}; names are positional (comma-separated)")
+        elif only is not None:
+            raise SystemExit("pass query names as ONE comma-separated positional")
         else:
             only = a.split(",")
     raise SystemExit(main(only=only, json_out=json_out))
