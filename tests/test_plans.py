@@ -244,6 +244,31 @@ def test_token_vocab_take_ordered(spark):
     assert "partial_count" in plan.lower() or "HashAggregate" in plan, plan[:2000]
 
 
+def test_subword_counts_pure_projection(spark):
+    """The greedy subword fold must stay a single narrow projection over
+    one scan — any Exchange, Join, or Python evaluation node means the
+    tokenizer fell off the JVM fast path."""
+    from omop2owl_vocab_spark.operators.tokenize import subword_token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(subword_token_counts(docs))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_pack_bpe_single_exchange(spark):
+    """tokenizer → pack_documents composed: exactly ONE exchange (the
+    per-shard window partitioning) — the tokenizer must not add a
+    shuffle of its own."""
+    from omop2owl_vocab_spark.operators.pack import pack_documents
+    from omop2owl_vocab_spark.operators.tokenize import subword_token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_documents(subword_token_counts(docs), n_tokens_col="n_tokens"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
 def test_owl_fragments_single_aggregate(spark):
     """Per-class fragment assembly is ONE groupBy on subj — a second
     full-width exchange would mean string assembly escaped the aggregate."""

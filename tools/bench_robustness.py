@@ -75,12 +75,17 @@ def main() -> None:
     mem = opt("--mem", "24g")
     buckets = int(opt("--buckets", "64"))
     out_path = opt("--json", "")
+    # --work: override the scratch root.  tmpfs pages + the child JVM heap
+    # share the same 128 GiB of RAM — at the 64M-row ladder point the
+    # input alone is ~40 GB, so ride the real disk instead (measured at
+    # parity with tmpfs for this pipeline: BENCH_IO_POSTURE.json).
+    work_root = opt("--work", WORK_ROOT)
 
     args = [a for a in argv if a.isdigit()]
     rows = int(args[0]) if args else 32_000_000
     cores = int(args[1]) if len(args) > 1 else 32
 
-    work = tempfile.mkdtemp(prefix="robust_", dir=WORK_ROOT)
+    work = tempfile.mkdtemp(prefix="robust_", dir=work_root)
     try:
         gen = subprocess.run(
             [sys.executable, "-c", (
