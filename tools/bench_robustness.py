@@ -35,10 +35,11 @@ from omop2owl_vocab_spark.session import get_spark
 
 cpus = int(sys.argv[1]); src = sys.argv[2]; out = sys.argv[3]
 buckets = int(sys.argv[4])
+spill = sys.argv[5] if len(sys.argv) > 5 else os.path.join(out, "_sparklocal")
 spark = get_spark("robust", master=f"local[{{cpus}}]",
                   extra_conf={{
                       "spark.sql.shuffle.partitions": str(cpus * 2),
-                      "spark.local.dir": os.path.join(out, "_sparklocal"),
+                      "spark.local.dir": spill,
                   }})
 spark.sparkContext.setLogLevel("ERROR")
 spark.read.parquet(src).limit(100).count()
@@ -76,10 +77,13 @@ def main() -> None:
     buckets = int(opt("--buckets", "64"))
     out_path = opt("--json", "")
     # --work: override the scratch root.  tmpfs pages + the child JVM heap
-    # share the same 128 GiB of RAM — at the 64M-row ladder point the
-    # input alone is ~40 GB, so ride the real disk instead (measured at
-    # parity with tmpfs for this pipeline: BENCH_IO_POSTURE.json).
+    # share the same 128 GiB of RAM (measured: 48M rows OOMs with work on
+    # tmpfs even at a 30g heap — the final-write shuffle spill balloons
+    # the tmpfs footprint).  --spill: put spark.local.dir (shuffle spill —
+    # write-once read-once, no reason to pay RAM for it) on the real
+    # disk, which BENCH_IO_POSTURE.json measured at parity.
     work_root = opt("--work", WORK_ROOT)
+    spill_root = opt("--spill", "")
 
     args = [a for a in argv if a.isdigit()]
     rows = int(args[0]) if args else 32_000_000
@@ -102,13 +106,20 @@ def main() -> None:
         if gen.returncode != 0:
             raise RuntimeError(gen.stderr[-2000:])
         out = os.path.join(work, "out")
+        child_args = [str(cores), os.path.join(work, "code_files"), out,
+                      str(buckets)]
+        spill_dir = ""
+        if spill_root:
+            spill_dir = tempfile.mkdtemp(prefix="robust_spill_", dir=spill_root)
+            child_args.append(spill_dir)
         t0 = time.time()
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(repo=REPO),
-             str(cores), os.path.join(work, "code_files"), out, str(buckets)],
+            [sys.executable, "-c", _CHILD.format(repo=REPO), *child_args],
             capture_output=True, text=True, timeout=5400,
             env=dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem),
         )
+        if spill_dir:
+            shutil.rmtree(spill_dir, ignore_errors=True)
         if proc.returncode != 0:
             raise RuntimeError(proc.stderr[-3000:])
         leg = json.loads(proc.stdout.strip().splitlines()[-1])
