@@ -9,8 +9,11 @@ text analysis).  Every float-valued output is exported as
 ``floor(x*10^k + 0.5)`` fixed-point so the DuckDB comparison is exact.
 Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
-the identical signatures/buckets, and the multimodal feature extractor
-exports an exact-integer long form — 34/34 hash-checkable.
+the identical signatures/buckets, the subword tokenizer is replayed by a
+recursive CTE over distinct words, and the multimodal feature extractor
+exports an exact-integer long form — 55/55 hash-checkable (r5;
+CORRECTNESS_FULL_r05.json carries the full record since the driver
+harness truncates at the first 50 dict entries — newest queries lead).
 """
 
 from __future__ import annotations
