@@ -1423,6 +1423,164 @@ FROM s
 """
 
 
+def _pipe_curation_scan(spark, sf_dir):
+    """The FUSED stateless curation projection (streaming twin surface):
+    pii_scrub + domain_flags + gopher_flags in one join-free select
+    (`streaming/curate_stream.py:curation_scan`, plan-pinned), over text
+    carrying BOTH the txt_pii and txt_domains plants — every column of
+    all three operators value-verified in one pass against a composed
+    oracle that re-derives pii, domain, and gopher columns from the same
+    augmented text and joins on doc_id."""
+    from omop2owl_vocab_spark.streaming.curate_stream import curation_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        _plant(
+            did % 5 == 0,
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com now"),
+        ),
+        _plant(
+            did % 7 == 0,
+            F.lit(" from 10.1."),
+            (did % 256).cast("string"),
+            F.lit(".77 logged"),
+        ),
+        _plant(
+            did % 3 == 0,
+            F.lit(" see https://ex"),
+            (did % 10).cast("string"),
+            F.lit(".example.org/p ok"),
+        ),
+        _plant(
+            did % 9 == 0,
+            F.lit(" via http://bad.tracker.net/x?id="),
+            did.cast("string"),
+            F.lit(" mirror http://bad.tracker.net/y"),
+        ),
+    )
+    out = curation_scan(
+        docs.select("doc_id", aug.alias("text")), blocklist=_BLOCKLIST
+    )
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4", "has_pii",
+        F.md5("redacted").alias("redacted_md5"),
+        "n_urls", "n_blocked_domains", "blocked", "domains_csv",
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_ratio_ok",
+        "stopword_ok", "keep",
+    )
+
+
+def _build_pipe_curation_scan_sql() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.77 logged' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' see https://ex' || CAST(doc_id % 10 AS VARCHAR)
+                      || '.example.org/p ok' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' via http://bad.tracker.net/x?id='
+                      || CAST(doc_id AS VARCHAR)
+                      || ' mirror http://bad.tracker.net/y' ELSE '' END AS t
+  FROM documents
+),
+pii AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(t, '{_PII_IPV4_SQL}')) AS BIGINT)
+           AS n_ipv4,
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+           '{_PII_IPV4_SQL}', '[IP]', 'g') AS red
+  FROM aug
+),
+dm AS (
+  SELECT doc_id, regexp_extract_all(t, '{_URL_SQL}', 1) AS domains FROM aug
+),
+domf AS (
+  SELECT doc_id,
+         CAST(len(domains) AS BIGINT) AS n_urls,
+         CAST(len(list_filter(domains,
+                  x -> list_contains({_BLOCKLIST_SQL}, x))) AS BIGINT)
+           AS n_blocked_domains,
+         len(list_filter(domains,
+             x -> list_contains({_BLOCKLIST_SQL}, x))) > 0 AS blocked,
+         array_to_string(list_sort(list_distinct(domains)), ',')
+           AS domains_csv
+  FROM dm
+),
+gb AS (
+  SELECT doc_id, t AS text,
+         list_filter(string_split_regex(trim(t), '\\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split(t, chr(10)),
+                     ln -> trim(ln) <> '') AS lines
+  FROM aug
+),
+gm AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+           AS word_chars,
+         len(text) - len(replace(replace(text, '#', ''), '…', '')) AS n_sym,
+         greatest(len(lines), 1) AS n_lines,
+         len(list_filter(lines,
+             ln -> substr(trim(ln), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+         len(list_filter(lines,
+             ln -> trim(ln) LIKE '%...' OR trim(ln) LIKE '%…'))
+           AS n_ellipsis,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+           AS n_stop
+  FROM gb
+),
+g AS (
+  SELECT doc_id,
+         n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+         word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+           AND n_words > 0 AS mean_word_len_ok,
+         n_sym * 10 <= n_words AS symbol_ratio_ok,
+         n_bullet * 10 <= n_lines * 9 AS bullet_ratio_ok,
+         n_ellipsis * 10 <= n_lines * 3 AS ellipsis_ratio_ok,
+         n_alpha * 10 >= n_words * 8 AS alpha_ratio_ok,
+         n_stop >= 2 AS stopword_ok,
+         (n_words >= 50 AND n_words <= 100000)
+           AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+                AND n_words > 0)
+           AND n_sym * 10 <= n_words
+           AND n_bullet * 10 <= n_lines * 9
+           AND n_ellipsis * 10 <= n_lines * 3
+           AND n_alpha * 10 >= n_words * 8
+           AND n_stop >= 2 AS keep
+  FROM gm
+)
+SELECT p.doc_id, p.n_emails, p.n_ipv4,
+       (p.n_emails > 0 OR p.n_ipv4 > 0) AS has_pii,
+       md5(p.red) AS redacted_md5,
+       d.n_urls, d.n_blocked_domains, d.blocked, d.domains_csv,
+       g.word_count_ok, g.mean_word_len_ok, g.symbol_ratio_ok,
+       g.bullet_ratio_ok, g.ellipsis_ratio_ok, g.alpha_ratio_ok,
+       g.stopword_ok, g.keep
+FROM pii p
+JOIN domf d ON d.doc_id = p.doc_id
+JOIN g ON g.doc_id = p.doc_id
+"""
+
+
 def _pipe_pack_bpe(spark, sf_dir):
     """Sequence packing against REAL tokenizer-exact counts produced by
     the greedy longest-prefix subword tokenizer (pure JVM fold — no UDF):
@@ -2212,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_pack_bpe": _pipe_pack_bpe,
         "txt_subword_vocab": _txt_subword_vocab,
         "sim_recall": _sim_recall,
+        "pipe_curation_scan": _pipe_curation_scan,
         # r4 additions + the two the r4 driver window dropped
         "dd_decontaminate": _dd_decontaminate,
         "txt_vocab": _txt_vocab,
@@ -2228,7 +2387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": _kg_adjacency,
         "kg_connected_components": _kg_connected_components,
         # relational operator inventory (F/J/A/O/U/X families)
-        "q_anti_join": _q_anti_join,
         "q_union_distinct": _q_union_distinct,
         "q_groupby_agg": _q_groupby_agg,
         "q_join_agg": _q_join_agg,
@@ -2265,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _sim_ivf_topk,
         # long-stable r1 relational basics — the driver's 50-entry window
         # may drop these; tools/check_oracle.py covers them every round
+        "q_anti_join": _q_anti_join,
         "q_filter": _q_filter,
         "q_isin": _q_isin,
         "q_distinct": _q_distinct,
@@ -2315,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
         "pipe_pack_bpe": _build_pipe_pack_bpe_sql(),
         "txt_subword_vocab": _TXT_SUBWORD_VOCAB_SQL,
+        "pipe_curation_scan": _build_pipe_curation_scan_sql(),
         "sim_norms": _SIM_NORMS_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_near_dup_exact": _SIM_NEAR_DUP_EXACT_SQL,
