@@ -11,7 +11,7 @@ Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
 the identical signatures/buckets, the subword tokenizer is replayed by a
 recursive CTE over distinct words, and the multimodal feature extractor
-exports an exact-integer long form — 55/55 hash-checkable (r5;
+exports an exact-integer long form — 59/59 hash-checkable (r5;
 CORRECTNESS_FULL_r05.json carries the full record since the driver
 harness truncates at the first 50 dict entries — newest queries lead).
 """
@@ -2355,6 +2355,191 @@ FROM h CROSS JOIN tt
 """
 
 
+
+def _q_asof_join(spark, sf_dir):
+    """Keyed as-of join over the event stream: for every 'error' event,
+    attach the latest prior (inclusive) non-error event of the same
+    user — the union-marker + running-last window form (ONE shuffle on
+    user_id, no range-join explosion; `operators/asof.py`).  The right
+    side is pre-reduced to one row per (user_id, ts) by max event_id so
+    the DuckDB ASOF LEFT JOIN oracle is tie-unambiguous."""
+    from omop2owl_vocab_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = asof_join(
+        probes, quotes, on="user_id", right_tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("matched_event_id"),
+        F.col("matched_event_type"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias(
+            "matched_ts_us"
+        ),
+        F.floor(F.col("matched_value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("matched_value_e4"),
+    )
+
+
+_Q_ASOF_JOIN_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+r AS (
+  SELECT user_id, ts,
+         max(event_id) AS event_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type <> 'error'
+  GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       r.event_id AS matched_event_id,
+       r.event_type AS matched_event_type,
+       epoch_us(r.ts) AS matched_ts_us,
+       CAST(floor(r.value * 10000 + 0.5) AS BIGINT) AS matched_value_e4
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _txt_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide duplicated-line removal over documents
+    augmented with planted boilerplate: a newsletter line on even ids, a
+    rights-reserved footer on ids % 3, a case/whitespace VARIANT of the
+    newsletter line on ids % 5 (proves normalization), and a per-doc
+    unique 'ref code' line that must always survive.  Lines whose
+    lower(trim(·)) form occurs >= 2 times corpus-wide are dropped;
+    output is per-doc line counts + md5 of the re-assembled text."""
+    from omop2owl_vocab_spark.operators.text import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(did % 2 == 0, F.lit("Subscribe to our newsletter!")),
+        F.when(did % 3 == 0, F.lit("All Rights Reserved.")),
+        F.when(did % 5 == 0, F.lit("  subscribe TO our Newsletter!  ")),
+        F.concat(F.lit("ref code "), did.cast("string")),
+    )
+    out = line_dedup(
+        docs.select("doc_id", aug.alias("text")), min_count=2
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5("text_dedup").alias("dedup_md5"),
+    )
+
+
+_TXT_LINE_DEDUP_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter!' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'All Rights Reserved.' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN '  subscribe TO our Newsletter!  ' END,
+           'ref code ' || CAST(doc_id AS VARCHAR)) AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM aug
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN trim(line) <> '' THEN md5(lower(trim(line))) END AS k
+  FROM lines
+),
+cnt AS (
+  SELECT k FROM keyed WHERE k IS NOT NULL
+  GROUP BY k HAVING COUNT(*) >= 2
+),
+flag AS (
+  SELECT keyed.doc_id, keyed.pos, keyed.line,
+         cnt.k IS NOT NULL AS dup
+  FROM keyed LEFT JOIN cnt ON keyed.k = cnt.k
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(CASE WHEN dup THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_removed,
+       md5(COALESCE(
+         array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT dup),
+                         chr(10)), '')) AS dedup_md5
+FROM flag GROUP BY doc_id
+"""
+
+
+def _txt_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document in 'ratio' idf mode (exact
+    integer numerator + one IEEE division — bit-identical cross-engine;
+    the default ln mode is tolerance-verified in-suite because ln is
+    not ulp-stable between the JVM and libm).  Document frequencies are
+    a window over the (doc, term) counts — one token-path scan, no
+    self-join (plan-pinned in test_asof_lines_tfidf.py)."""
+    from omop2owl_vocab_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=3, idf_mode="ratio"
+    )
+
+
+_TXT_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * (n.n_docs + 1) AS DOUBLE)
+           / CAST(dfreq.df + 1 AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS BIGINT)
+           AS rank,
+         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_e4
+  FROM scored
+)
+SELECT doc_id, term, tf, df, rank, score_e4 FROM ranked WHERE rank <= 3
+"""
+
+
+
 # ---------------------------------------------------------------- exports
 
 
@@ -2366,7 +2551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 1) sit at the tail.  tools/check_oracle.py still checks ALL
     # entries each round → CORRECTNESS_FULL_r05.json.
     return {
-        # newest (r5): tokenizer-exact packing + ANN recall metric
+        # newest (r5): as-of join, line dedup, tf-idf, tokenizer-exact
+        # packing, ANN recall metric
+        "q_asof_join": _q_asof_join,
+        "txt_line_dedup": _txt_line_dedup,
+        "txt_tfidf": _txt_tfidf,
         "pipe_pack_bpe": _pipe_pack_bpe,
         "txt_subword_vocab": _txt_subword_vocab,
         "sim_recall": _sim_recall,
@@ -2472,6 +2661,9 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack": _PIPE_PACK_SQL,
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
+        "q_asof_join": _Q_ASOF_JOIN_SQL,
+        "txt_line_dedup": _TXT_LINE_DEDUP_SQL,
+        "txt_tfidf": _TXT_TFIDF_SQL,
         "pipe_pack_bpe": _build_pipe_pack_bpe_sql(),
         "txt_subword_vocab": _TXT_SUBWORD_VOCAB_SQL,
         "pipe_curation_scan": _build_pipe_curation_scan_sql(),

