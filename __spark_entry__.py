@@ -11,7 +11,7 @@ Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
 the identical signatures/buckets, the subword tokenizer is replayed by a
 recursive CTE over distinct words, and the multimodal feature extractor
-exports an exact-integer long form — 59/59 hash-checkable (r5;
+exports an exact-integer long form — 64/64 hash-checkable (r5;
 CORRECTNESS_FULL_r05.json carries the full record since the driver
 harness truncates at the first 50 dict entries — newest queries lead).
 """
@@ -2540,6 +2540,263 @@ SELECT doc_id, term, tf, df, rank, score_e4 FROM ranked WHERE rank <= 3
 
 
 
+def _q_interval_join(spark, sf_dir):
+    """Point-in-interval join over the event stream: every 'error'
+    event joined (left) to every same-user 'signup' window
+    [signup_ts, signup_ts + 6h) that covers it — the grain-bucketed
+    equi-join form (`operators/asof.py:interval_join`): each interval
+    explodes across the 1h grains it touches, each point owns exactly
+    one grain, so the hash join + exact range filter yields every
+    qualifying pair exactly once with no range-join explosion."""
+    from omop2owl_vocab_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    span = F.lit(6 * 3600).cast("long")
+    ivs = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + span * 1_000_000
+        ).alias("end"),
+    )
+    out = interval_join(
+        pts, ivs, point_ts="ts", start_ts="start", end_ts="end",
+        on="user_id", grain_us=3_600_000_000, how="left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("iv_signup_id").alias("signup_id"),
+        F.unix_micros(F.col("iv_start").cast("timestamp")).alias(
+            "signup_ts_us"
+        ),
+    )
+
+
+_Q_INTERVAL_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+i AS (
+  SELECT event_id AS signup_id, user_id, ts AS start_ts,
+         ts + INTERVAL 6 HOUR AS end_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       i.signup_id, epoch_us(i.start_ts) AS signup_ts_us
+FROM p LEFT JOIN i
+  ON p.user_id = i.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts
+"""
+
+
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch: per-language token
+    vocabulary estimate over `documents` at k=64, alongside the exact
+    distinct count so the sketch error is visible in the result itself.
+    The 60-bit md5-prefix hash family is engine-portable, so DuckDB
+    re-derives the identical k-th hash and the identical estimate —
+    an APPROXIMATE operator verified hash-EXACT
+    (`operators/sketch.py`)."""
+    from omop2owl_vocab_spark.operators.sketch import kmv_distinct
+    from omop2owl_vocab_spark.operators.text import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.transform(_tokens(F.col("text")), lambda t: F.lower(t))
+        ).alias("token"),
+    )
+    sk = kmv_distinct(toks, ["lang"], "token", k=64)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").cast("long").alias("exact_distinct")
+    )
+    return sk.join(exact, "lang").select(
+        "lang", "n_kept", "kth_hash", "distinct_e4", "exact_distinct"
+    )
+
+
+# DuckDB replay of the 60-bit md5-prefix hash: fold 15 hex chars to a
+# BIGINT (strpos over '123456789abcdef' maps '0'→0 … 'f'→15)
+_KMV_K = 64
+_KMV_C = repr(float(_KMV_K - 1) * float(16**15))
+
+_Q_KMV_DISTINCT_SQL = rf"""
+WITH toks AS (
+  SELECT lang,
+         lower(unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> ''))) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT lang,
+         list_reduce(
+           list_transform(string_split(substr(md5(token), 1, 15), ''),
+                          c -> CAST(strpos('123456789abcdef', c) AS BIGINT)),
+           (a, b) -> a * 16 + b) AS h
+  FROM toks
+),
+ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS r
+  FROM hashed
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         max(CASE WHEN r = {_KMV_K} THEN h END) AS kth_hash
+  FROM ranked WHERE r <= {_KMV_K} GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY lang
+)
+SELECT agg.lang, agg.n_kept, agg.kth_hash,
+       CASE WHEN agg.kth_hash IS NOT NULL
+            THEN CAST(floor({_KMV_C} / CAST(agg.kth_hash AS DOUBLE)
+                            * 10000 + 0.5) AS BIGINT)
+            ELSE agg.n_kept * 10000 END AS distinct_e4,
+       exact.exact_distinct
+FROM agg JOIN exact USING (lang)
+"""
+
+
+def _txt_collocations(spark, sf_dir):
+    """Top-100 bigram collocations by PMI over `documents` — scored as
+    the exact-integer PMI ratio c_xy·N·10^4 div (c_x·c_y) (ln is
+    monotone, so the ranking IS the PMI ranking, and the all-integer
+    arithmetic makes the DuckDB oracle hash-exact;
+    `operators/text.py:bigram_pmi`)."""
+    from omop2owl_vocab_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(
+        _t(spark, sf_dir, "documents"), min_count=5, top_m=100
+    )
+
+
+_TXT_COLLOCATIONS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> ''))) AS w,
+         generate_subscripts(list_filter(string_split_regex(trim(text),
+                                                            '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY w
+),
+n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tokens FROM uni),
+pairs AS (
+  SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+  FROM toks QUALIFY w1 IS NOT NULL
+),
+cxy AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5
+)
+SELECT cxy.w1, cxy.w2, cxy.c_xy,
+       u1.c_w AS c_x, u2.c_w AS c_y, n.n_tokens,
+       (cxy.c_xy * n.n_tokens * 10000) // (u1.c_w * u2.c_w)
+         AS pmi_ratio_e4
+FROM cxy
+JOIN uni u1 ON cxy.w1 = u1.w
+JOIN uni u2 ON cxy.w2 = u2.w
+CROSS JOIN n
+ORDER BY pmi_ratio_e4 DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+
+def _pipe_mixture(spark, sf_dir):
+    """Deterministic data-mixture resampling over `documents`: src0
+    halved, src1 upsampled 2.5× (two full copies + a 50% third), src2
+    kept, src3 quartered, every other source at the 0.75 default —
+    the domain-reweighting primitive.  Acceptance is an integer
+    comparison of a 60-bit md5 draw against plan-time thresholds, so
+    the kept multiset is engine-independent
+    (`operators/sample.py:mixture_sample`)."""
+    from omop2owl_vocab_spark.operators.sample import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs.select("doc_id", "source"),
+        {"src0": 0.5, "src1": 2.5, "src2": 1.0, "src3": 0.25},
+        seed=11,
+        default_rate=0.75,
+    )
+    return out.select("doc_id", "source", F.col("copy_id").cast("long"))
+
+
+def _mix_thr(frac: float) -> int:
+    return int(round(frac * (16**15)))
+
+
+_PIPE_MIXTURE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_transform(
+             string_split(substr(md5('mix11:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15), ''),
+             c -> CAST(strpos('123456789abcdef', c) AS BIGINT)),
+           (a, b) -> a * 16 + b) AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CASE source
+           WHEN 'src0' THEN 0 + CASE WHEN u < {_mix_thr(0.5)} THEN 1 ELSE 0 END
+           WHEN 'src1' THEN 2 + CASE WHEN u < {_mix_thr(0.5)} THEN 1 ELSE 0 END
+           WHEN 'src2' THEN 1 + CASE WHEN u < {_mix_thr(0.0)} THEN 1 ELSE 0 END
+           WHEN 'src3' THEN 0 + CASE WHEN u < {_mix_thr(0.25)} THEN 1 ELSE 0 END
+           ELSE 0 + CASE WHEN u < {_mix_thr(0.75)} THEN 1 ELSE 0 END
+         END AS n_copies
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_id
+FROM n WHERE n_copies > 0
+"""
+
+
+def _txt_doc_stats(spark, sf_dir):
+    """Exact nearest-rank length percentiles per language over
+    `documents` — corpus profiling with pure integer rank selection
+    (``ceil(pct·n/100)`` as ``(pct·n+99) div 100`` on longs), so the
+    selected values are engine-independent — no interpolated-percentile
+    float drift (`operators/stats.py:group_quantiles`)."""
+    from omop2owl_vocab_spark.operators.stats import group_quantiles
+
+    return group_quantiles(
+        _t(spark, sf_dir, "documents"), ["lang"], "n_chars", (50, 90, 99)
+    )
+
+
+_TXT_DOC_STATS_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars AS v,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang,
+       max(n) AS n, min(v) AS min, max(v) AS max,
+       max(CASE WHEN r = (50 * n + 99) // 100 THEN v END) AS p50,
+       max(CASE WHEN r = (90 * n + 99) // 100 THEN v END) AS p90,
+       max(CASE WHEN r = (99 * n + 99) // 100 THEN v END) AS p99
+FROM ranked GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------- exports
 
 
@@ -2551,8 +2808,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 1) sit at the tail.  tools/check_oracle.py still checks ALL
     # entries each round → CORRECTNESS_FULL_r05.json.
     return {
-        # newest (r5): as-of join, line dedup, tf-idf, tokenizer-exact
-        # packing, ANN recall metric
+        # newest (r5): interval join, KMV sketch, PMI collocations,
+        # as-of join, line dedup, tf-idf, tokenizer-exact packing,
+        # ANN recall metric
+        "pipe_mixture": _pipe_mixture,
+        "txt_doc_stats": _txt_doc_stats,
+        "q_interval_join": _q_interval_join,
+        "q_kmv_distinct": _q_kmv_distinct,
+        "txt_collocations": _txt_collocations,
         "q_asof_join": _q_asof_join,
         "txt_line_dedup": _txt_line_dedup,
         "txt_tfidf": _txt_tfidf,
@@ -2661,6 +2924,11 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack": _PIPE_PACK_SQL,
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
+        "pipe_mixture": _PIPE_MIXTURE_SQL,
+        "txt_doc_stats": _TXT_DOC_STATS_SQL,
+        "q_interval_join": _Q_INTERVAL_JOIN_SQL,
+        "q_kmv_distinct": _Q_KMV_DISTINCT_SQL,
+        "txt_collocations": _TXT_COLLOCATIONS_SQL,
         "q_asof_join": _Q_ASOF_JOIN_SQL,
         "txt_line_dedup": _TXT_LINE_DEDUP_SQL,
         "txt_tfidf": _TXT_TFIDF_SQL,

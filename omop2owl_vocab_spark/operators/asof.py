@@ -118,3 +118,99 @@ def asof_join(
     out_cols.append(F.col("__m.__ts").alias(f"{prefix}ts"))
     out_cols.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in rc)
     return matched.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_ts: str = "start",
+    end_ts: str = "end",
+    on: str | None = None,
+    grain_us: int = 3_600_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start <= point_ts < end`` (half-open, the calendar-window
+    convention), optionally also matching an equality key ``on``.
+
+    Spark-first shape — NOT the naive range join: a raw
+    ``p.ts >= i.start AND p.ts < i.end`` theta-join has no equality
+    conjunct Catalyst can hash on (with only ``on`` it degenerates to a
+    per-key cartesian; without it, BroadcastNestedLoopJoin).  Instead
+    both sides are bucketed to a coarse time grain: each point lands in
+    exactly ONE bucket (``floor(ts / grain)``); each interval is
+    exploded via ``sequence(floor(start/grain), floor((end-1)/grain))``
+    across every bucket it touches.  The join is then a plain hash
+    equi-join on ``(key?, bucket)`` followed by the exact range filter —
+    and because a point owns exactly one bucket, every qualifying pair
+    appears exactly once: NO post-join dedup, which is what makes this
+    form safe to compose with aggregates.
+
+    100 TB posture: shuffle is linear in points + interval-bucket
+    replicas; pick ``grain_us`` near the TYPICAL interval span so the
+    replication factor stays ~2 (``span/grain + 1`` buckets per
+    interval).  A pathological never-ending interval replicates across
+    the whole time axis — cap those upstream (split open intervals at
+    ingest, the standard bitemporal trick).  Candidate pairs per bucket
+    are bounded by bucket co-occupancy, not corpus size, so skew
+    follows the event-time distribution and AQE's skew-join split
+    applies.  The exactness argument is grain-independent (tests sweep
+    grains); grain only tunes replication vs. bucket width.
+
+    ``how``: 'inner' or 'left' (points with no covering interval kept,
+    interval payload NULL — implemented as inner + anti-union so the
+    hot path stays an equi-join).  Interval payload columns are
+    prefixed ``iv_``.  Reference analog: none (mandated LLM-pipeline /
+    temporal surface).
+    """
+    if grain_us <= 0:
+        raise ValueError("grain_us must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+    ivc = [c for c in intervals.columns if c not in (on,)]
+    p = points.withColumn("__b", F.floor(p_us / grain_us))
+    i = (
+        intervals.filter(s_us < e_us)
+        .select(
+            *([F.col(on)] if on else []),
+            F.struct(*[F.col(c) for c in ivc]).alias("__iv"),
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / grain_us),
+                    F.floor((e_us - 1) / grain_us),
+                )
+            ).alias("__b"),
+        )
+    )
+    keys = ([on] if on else []) + ["__b"]
+    j = p.join(i, keys, "inner")
+    in_range = (
+        F.unix_micros(F.col(point_ts).cast("timestamp"))
+        >= F.unix_micros(F.col(f"__iv.{start_ts}").cast("timestamp"))
+    ) & (
+        F.unix_micros(F.col(point_ts).cast("timestamp"))
+        < F.unix_micros(F.col(f"__iv.{end_ts}").cast("timestamp"))
+    )
+    hit = j.filter(in_range)
+    out_cols = [F.col(c) for c in points.columns] + [
+        F.col(f"__iv.{c}").alias(f"iv_{c}") for c in ivc
+    ]
+    inner = hit.select(*out_cols)
+    if how == "inner":
+        return inner
+    misses = p.join(
+        hit.select(*[F.col(c) for c in points.columns]).distinct(),
+        points.columns,
+        "left_anti",
+    ).select(
+        *[F.col(c) for c in points.columns],
+        *[
+            F.lit(None).cast(intervals.schema[c].dataType).alias(f"iv_{c}")
+            for c in ivc
+        ],
+    )
+    return inner.unionByName(misses)

@@ -49,3 +49,82 @@ def stratified_sample(
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+_HEX_SPACE = 16**15
+
+
+def _u60(seed: int, id_col: str):
+    """Uniform 60-bit draw per id — md5-prefix, engine-portable."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"mix{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixture resampling — the domain-reweighting
+    primitive (Pile / DoReMi style): each source gets a sampling rate;
+    ``rate < 1`` downsamples, ``rate > 1`` UPSAMPLES by emitting
+    ``floor(rate)`` full copies plus one more with probability
+    ``frac(rate)``.  Unlisted sources fall back to ``default_rate``
+    (0.0 = drop — the explicit-allowlist posture).
+
+    Determinism without a single float at runtime: each id draws a
+    uniform 60-bit integer ``u = md5-prefix(seed:id)`` and the
+    fractional acceptance is the INTEGER comparison ``u < floor(frac ·
+    16^15)`` — thresholds are computed in Python at plan time, so the
+    kept set is a pure function of (id, seed, rates): independent of
+    partitioning, cluster size, row order, and engine (the DuckDB
+    oracle replays it hash-exact).  Copies materialize via
+    ``explode(sequence(0, n_copies-1))`` with a ``copy_id`` so
+    downstream shuffles can still dedup provenance.
+
+    Plan: one narrow projection + explode — NO shuffle, NO sampling
+    state; at 100 TB this composes with everything because it commutes
+    with partition pruning (the rate test is per-row).  Mean output
+    size is exactly ``sum_s rate_s · n_s``.  Contrast
+    ``df.sample()``: Spark's native sampler is seed-stable only per
+    PARTITIONING — repartition and the sample changes; this one never
+    does.
+    """
+    if default_rate < 0 or any(r < 0 for r in rates.values()):
+        raise ValueError("rates must be non-negative")
+    u = _u60(seed, id_col)
+
+    def n_copies(rate: float):
+        base = int(rate)
+        thr = int(round((rate - base) * _HEX_SPACE))
+        return F.lit(base) + (u < F.lit(thr)).cast("int")
+
+    expr = None
+    for src, rate in sorted(rates.items()):
+        cond = F.col(source_col) == src
+        expr = (
+            F.when(cond, n_copies(rate))
+            if expr is None
+            else expr.when(cond, n_copies(rate))
+        )
+    nc = (
+        expr.otherwise(n_copies(default_rate))
+        if expr is not None
+        else n_copies(default_rate)
+    )
+    return (
+        df.withColumn("__n", nc)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

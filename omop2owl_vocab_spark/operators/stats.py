@@ -1,0 +1,76 @@
+"""Exact per-group order statistics — the corpus-profiling primitive
+(doc-length p50/p90/p99 per language, token-budget tails per source)
+with NEAREST-RANK semantics so every quantile is an actual data value
+selected by pure integer arithmetic.
+
+Why not ``percentile``/``quantile_cont``: interpolated percentiles do
+float multiplication on the rank (``0.9 · n``) and linear interpolation
+between neighbors — both engine-rounding-dependent (0.9 is not
+representable; ``0.9·10`` rounds ABOVE 9.0 in IEEE-754, silently moving
+the selected rank).  Nearest-rank with rational percents
+(``idx = ceil(pct·n/100)`` computed as ``(pct·n + 99) div 100`` on
+longs) has none of that: the selected element is engine-independent and
+the DuckDB oracle matches hash-exact.
+
+Reference analog: none (mandated LLM-pipeline surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """One row per group: ``n``, ``min``, ``max``, and ``p{pct}`` = the
+    nearest-rank ``pct``-th percentile (the value at 1-based sorted
+    position ``ceil(pct·n/100)``) for each requested integer percent.
+
+    Plan shape: ONE exchange + ONE sort per group — ``row_number``
+    over the value order plus a group-count window on the same
+    partitioning (two Window operators — ordered and unordered specs
+    don't merge — but they share the single exchange/sort, plan-pinned)
+    — then one hash-aggregate picking each indexed element with
+    ``max(when(rank == idx, value))``.  Linear in rows; the sort is
+    per-group (parallel across groups).  At extreme per-group
+    cardinality swap the full sort for a two-pass histogram prune the
+    same way `stratified_sample` documents its keyspace pre-prune —
+    the contract here is the exact form.
+
+    Ties: duplicates are counted per occurrence (standard nearest-rank
+    on the multiset), tiebreak on value only — equal values are
+    interchangeable, so the selected VALUE is deterministic even though
+    row identities tie.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not percents or any(
+        not (1 <= int(p) <= 100) for p in percents
+    ):
+        raise ValueError("percents must be integers in 1..100")
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *[F.col(c) for c in group_cols], F.col(value_col).alias("__v")
+    ).select(
+        "*",
+        F.row_number().over(w.orderBy(F.col("__v").asc())).alias("__r"),
+        F.count("*").over(wn).cast("long").alias("__n"),
+    )
+    aggs = [
+        F.max("__n").alias("n"),
+        F.min("__v").alias("min"),
+        F.max("__v").alias("max"),
+    ]
+    for p in percents:
+        p = int(p)
+        idx = F.expr(f"({p} * __n + 99) div 100")
+        aggs.append(
+            F.max(F.when(F.col("__r") == idx, F.col("__v"))).alias(f"p{p}")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

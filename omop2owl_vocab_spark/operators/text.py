@@ -574,3 +574,99 @@ def tfidf_top_terms(
             id_col, "term", "tf", "df", "rank", _e4(F.col("score")).alias("score_e4")
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    top_m: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation extraction: the ``top_m`` word bigrams
+    by pointwise mutual information — the classic phrase-mining /
+    tokenizer-merge-candidate primitive ("new york", "machine
+    learning").  PMI = ln( p(xy) / (p(x)·p(y)) ) with all probabilities
+    over token OCCURRENCES (N = total tokens, the Church & Hanks '90
+    convention; bigram windows = N - n_docs is deliberately NOT used as
+    the denominator so every count shares one scale).
+
+    Scoring is the PMI RATIO ``c_xy·N / (c_x·c_y)`` in 4-decimal fixed
+    point computed ENTIRELY in integer arithmetic (one long multiply
+    chain + one integer division — bit-identical in any engine, no
+    transcendental): ln is monotone, so ranking by the ratio IS ranking
+    by PMI, and the DuckDB oracle matches hash-exact.  Overflow bound:
+    ``c_xy·N·10^4 < 2^63`` holds whenever N < ~9.6e8 for the worst case
+    c_xy = N; in practice c_xy ≪ N — at the 10^13-token scale compute
+    the same ratio in double (monotonicity unaffected) or pre-scale
+    counts.
+
+    Plan shape: ONE tokenize of the corpus → bigrams via the zip_with
+    two-slice idiom (see `repetition_flags` — per-element element_at is
+    O(n²)) → hash-agg bigram counts on (w1, w2) → unigram counts from a
+    second explode of the same projection → two hash joins of the
+    bigram frame against the unigram table (on w1, then w2).  The
+    unigram side is the corpus VOCABULARY — Heaps-law sublinear, ~1e6
+    rows at web scale — so AQE turns both joins into broadcasts; with
+    ``min_count`` pruning the bigram side first, every stage is linear.
+    Final top-m is orderBy+limit → TakeOrderedAndProject (heap per
+    partition + merge, no global sort).  Ties rank (ratio desc, w1 asc,
+    w2 asc) — exact-integer equality, engine-independent.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_m <= 0:
+        raise ValueError("top_m must be positive")
+    toks = df.select(
+        F.transform(_tokens(F.col(text_col)), lambda t: F.lower(t)).alias(
+            "__t"
+        )
+    )
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c_w"))
+    )
+    n = uni.agg(F.sum("c_w").alias("n_tokens"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.zip_with(
+                    F.slice("__t", 1, F.size("__t") - 1),
+                    F.slice("__t", 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c_xy = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    scored = (
+        c_xy.join(uni.select(F.col("w").alias("w1"),
+                             F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi_ratio_e4",
+            F.expr("(c_xy * n_tokens * 10000) div (c_x * c_y)"),
+        )
+    )
+    return (
+        scored.select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "pmi_ratio_e4",
+        )
+        .orderBy(
+            F.col("pmi_ratio_e4").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(top_m)
+    )

@@ -1,0 +1,142 @@
+"""Unit tests for deterministic mixture resampling
+(`operators/sample.py:mixture_sample`) and exact nearest-rank group
+quantiles (`operators/stats.py:group_quantiles`)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop2owl_vocab_spark.operators.sample import mixture_sample
+from omop2owl_vocab_spark.operators.stats import group_quantiles
+
+_HEX = 16**15
+
+
+def _u(seed: int, doc_id: int) -> int:
+    return int(
+        hashlib.md5(f"mix{seed}:{doc_id}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _docs(spark, n, sources=("a", "b")):
+    return spark.createDataFrame(
+        [(i, sources[i % len(sources)]) for i in range(n)],
+        ["doc_id", "source"],
+    )
+
+
+def test_mixture_downsample_matches_python_reference(spark):
+    df = _docs(spark, 400, ("a",))
+    out = mixture_sample(df, {"a": 0.25}, seed=7).collect()
+    thr = int(round(0.25 * _HEX))
+    expect = {i for i in range(400) if _u(7, i) < thr}
+    assert {r["doc_id"] for r in out} == expect
+    assert all(r["copy_id"] == 0 for r in out)
+    # rate is honored in aggregate (±4/sqrt(n·p) tolerance)
+    assert abs(len(out) - 100) < 40
+
+
+def test_mixture_upsample_copies(spark):
+    df = _docs(spark, 300, ("a",))
+    out = mixture_sample(df, {"a": 2.5}, seed=1).collect()
+    thr = int(round(0.5 * _HEX))
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["copy_id"])
+    for i in range(300):
+        want = 3 if _u(1, i) < thr else 2
+        assert sorted(by_id[i]) == list(range(want)), i
+
+
+def test_mixture_default_rate_and_validation(spark):
+    df = _docs(spark, 100, ("a", "z"))
+    out = mixture_sample(df, {"a": 1.0}, seed=0).collect()
+    # default_rate=0: unlisted source 'z' dropped entirely, 'a' kept 1×
+    assert {r["source"] for r in out} == {"a"}
+    assert len(out) == 50
+    out2 = mixture_sample(df, {"a": 1.0}, seed=0, default_rate=1.0)
+    assert out2.count() == 100
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"a": -0.1})
+
+
+def test_mixture_partitioning_invariance(spark):
+    df = _docs(spark, 500)
+    rates = {"a": 0.3, "b": 1.7}
+    r1 = sorted(
+        (r["doc_id"], r["copy_id"])
+        for r in mixture_sample(df, rates, seed=3).collect()
+    )
+    r2 = sorted(
+        (r["doc_id"], r["copy_id"])
+        for r in mixture_sample(
+            df.repartition(13, "doc_id"), rates, seed=3
+        ).collect()
+    )
+    assert r1 == r2
+    # different seed re-deals
+    r3 = sorted(
+        (r["doc_id"], r["copy_id"])
+        for r in mixture_sample(df, rates, seed=4).collect()
+    )
+    assert r1 != r3
+
+
+def test_mixture_no_shuffle_plan(spark):
+    df = _docs(spark, 50)
+    out = mixture_sample(df, {"a": 0.5, "b": 2.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow projection + explode only
+
+
+# ---------------------------------------------------------- group_quantiles
+
+
+def test_quantiles_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("g", v) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]],
+        ["g", "v"],
+    )
+    row = group_quantiles(df, ["g"], "v", (50, 90, 99)).collect()[0]
+    # nearest rank: idx = ceil(p*n/100) → p50 = 5th = 50, p90 = 9th = 90,
+    # p99 = ceil(9.9) = 10th = 100 (NOT the float-rounded 0.9·10 trap)
+    assert (row["n"], row["min"], row["max"]) == (10, 10, 100)
+    assert (row["p50"], row["p90"], row["p99"]) == (50, 90, 100)
+
+
+def test_quantiles_single_value_and_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 1), ("b", 1), ("b", 2)], ["g", "v"]
+    )
+    got = {
+        r["g"]: r for r in group_quantiles(df, ["g"], "v", (50,)).collect()
+    }
+    assert got["a"]["p50"] == 5 and got["a"]["n"] == 1
+    # multiset semantics: b sorted = [1,1,2], idx = ceil(1.5)=2 → 1
+    assert got["b"]["p50"] == 1
+
+
+def test_quantiles_p100_is_max_and_validation(spark):
+    df = spark.createDataFrame([("g", v) for v in range(1, 8)], ["g", "v"])
+    row = group_quantiles(df, ["g"], "v", (1, 100)).collect()[0]
+    assert row["p1"] == 1 and row["p100"] == 7 == row["max"]
+    with pytest.raises(ValueError):
+        group_quantiles(df, [], "v")
+    with pytest.raises(ValueError):
+        group_quantiles(df, ["g"], "v", (0,))
+    with pytest.raises(ValueError):
+        group_quantiles(df, ["g"], "v", (101,))
+
+
+def test_quantiles_single_window_plan(spark):
+    df = spark.createDataFrame([("g", v) for v in range(20)], ["g", "v"])
+    out = group_quantiles(df, ["g"], "v")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # the two window functions (row_number + count) share ONE exchange
+    # and ONE sort — the quantile pass reads and sorts each group once
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
