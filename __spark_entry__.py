@@ -11,7 +11,7 @@ Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
 the identical signatures/buckets, the subword tokenizer is replayed by a
 recursive CTE over distinct words, and the multimodal feature extractor
-exports an exact-integer long form — 64/64 hash-checkable (r5;
+exports an exact-integer long form — 68/68 hash-checkable (r5;
 CORRECTNESS_FULL_r05.json carries the full record since the driver
 harness truncates at the first 50 dict entries — newest queries lead).
 """
@@ -2797,6 +2797,172 @@ FROM ranked GROUP BY lang
 """
 
 
+def _kg_ancestors(spark, sf_dir):
+    """Transitive ancestor closure with min/max levels of separation —
+    the OMOP concept_ancestor analog (`operators/closure.py`), computed
+    by path doubling (⌈log2(depth)⌉+1 join rounds, per-round lineage
+    checkpoint) over a deterministic part-key hierarchy: tree edges
+    k → k div 10 plus shortcut edges k → k div 100 on k % 13 == 0, so
+    min_levels < max_levels on every pair a shortcut bypasses.  Oracle:
+    DuckDB recursive CTE enumerating all path lengths, then min/max."""
+    from omop2owl_vocab_spark.operators.closure import ancestor_closure
+
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 10").alias("parent"),
+    ).filter(F.col("parent") >= 1)
+    skip = part.filter(F.expr("p_partkey % 13 = 0")).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 100").alias("parent"),
+    ).filter(F.col("parent") >= 1)
+    closure, _stats = ancestor_closure(base.unionByName(skip), max_iter=8)
+    return closure.select(
+        "ancestor", "descendant", "min_levels", "max_levels"
+    )
+
+
+_KG_ANCESTORS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 10 AS parent
+  FROM part WHERE p_partkey // 10 >= 1
+  UNION ALL
+  SELECT p_partkey AS child, p_partkey // 100 AS parent
+  FROM part WHERE p_partkey % 13 = 0 AND p_partkey // 100 >= 1
+),
+paths(ancestor, descendant, lvl) AS (
+  SELECT DISTINCT parent, child, 1 FROM edges WHERE parent <> child
+  UNION
+  SELECT e.parent, p.descendant, p.lvl + 1
+  FROM paths p JOIN edges e ON e.child = p.ancestor
+  WHERE e.parent <> e.child
+)
+SELECT ancestor, descendant,
+       CAST(min(lvl) AS BIGINT) AS min_levels,
+       CAST(max(lvl) AS BIGINT) AS max_levels
+FROM paths GROUP BY ancestor, descendant
+"""
+
+
+def _q_table_diff(spark, sf_dir):
+    """Keyed snapshot diff (`operators/diff.py:keyed_diff`): orders with
+    key-mod carve-outs as the two versions (old drops keys %5==0, new
+    drops %3==0 and bumps o_totalprice on %7==0), exercising all four
+    statuses — one full-outer hash join + a null-safe projection,
+    changed_cols named per column."""
+    from omop2owl_vocab_spark.operators.diff import keyed_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.expr("o_orderkey % 5 <> 0"))
+    new = orders.filter(F.expr("o_orderkey % 3 <> 0")).withColumn(
+        "o_totalprice",
+        F.when(
+            F.expr("o_orderkey % 7 = 0"), F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return keyed_diff(
+        new, old, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+_Q_TABLE_DIFF_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+n AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+j AS (
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         n.o_orderkey IS NOT NULL AS np, o.o_orderkey IS NOT NULL AS op,
+         concat_ws(',',
+           CASE WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                THEN 'o_totalprice' END) AS cc
+  FROM n FULL OUTER JOIN o USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN NOT op THEN 'added'
+            WHEN NOT np THEN 'removed'
+            WHEN cc <> '' THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN np AND op AND cc <> '' THEN cc ELSE '' END
+         AS changed_cols
+FROM j
+"""
+
+
+def _txt_length_hist(spark, sf_dir):
+    """Per-language fixed-width document-length histogram
+    (`operators/stats.py:group_histogram`): 200-char bins over
+    [0, 4000) with clamp-to-edge overflow buckets; bin edges are pure
+    long arithmetic (`div`), so the sparse (lang, bin_lo, n) frame is
+    engine-exact."""
+    from omop2owl_vocab_spark.operators.stats import group_histogram
+
+    return group_histogram(
+        _t(spark, sf_dir, "documents"),
+        ["lang"],
+        "n_chars",
+        bin_width=200,
+        lo=0,
+        hi=4000,
+    )
+
+
+_TXT_LENGTH_HIST_SQL = """
+SELECT lang,
+       CAST(((LEAST(GREATEST(CAST(n_chars AS BIGINT), 0), 3999)) // 200)
+            * 200 AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang, bin_lo
+"""
+
+
+def _q_funnel(spark, sf_dir):
+    """signup → click → purchase funnel over the event stream
+    (`operators/funnel.py:funnel_steps`): greedy-earliest chain
+    timestamps per user (complete — if any increasing chain exists the
+    greedy one does) via k-1 chained aggregate+join stages, no window
+    over the full stream, no UDF."""
+    from omop2owl_vocab_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), ["signup", "click", "purchase"]
+    )
+
+
+_Q_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS ts_1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS ts_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.ts_1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS ts_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.ts_2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+       CAST(1 + (s2.ts_2 IS NOT NULL)::INT + (s3.ts_3 IS NOT NULL)::INT
+            AS BIGINT) AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 # ---------------------------------------------------------------- exports
 
 
@@ -2808,9 +2974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 1) sit at the tail.  tools/check_oracle.py still checks ALL
     # entries each round → CORRECTNESS_FULL_r05.json.
     return {
-        # newest (r5): interval join, KMV sketch, PMI collocations,
+        # newest (r5): ancestor closure, snapshot diff, funnel,
+        # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "kg_ancestors": _kg_ancestors,
+        "q_table_diff": _q_table_diff,
+        "q_funnel": _q_funnel,
+        "txt_length_hist": _txt_length_hist,
         "pipe_mixture": _pipe_mixture,
         "txt_doc_stats": _txt_doc_stats,
         "q_interval_join": _q_interval_join,
@@ -2924,6 +3095,10 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack": _PIPE_PACK_SQL,
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
+        "kg_ancestors": _KG_ANCESTORS_SQL,
+        "q_table_diff": _Q_TABLE_DIFF_SQL,
+        "q_funnel": _Q_FUNNEL_SQL,
+        "txt_length_hist": _TXT_LENGTH_HIST_SQL,
         "pipe_mixture": _PIPE_MIXTURE_SQL,
         "txt_doc_stats": _TXT_DOC_STATS_SQL,
         "q_interval_join": _Q_INTERVAL_JOIN_SQL,

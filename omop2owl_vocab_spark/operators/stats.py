@@ -74,3 +74,52 @@ def group_quantiles(
             F.max(F.when(F.col("__r") == idx, F.col("__v"))).alias(f"p{p}")
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def group_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: int,
+    lo: int = 0,
+    hi: int | None = None,
+) -> DataFrame:
+    """Fixed-width integer histogram per group: one row per
+    (group, bin) with ``bin_lo`` = the bin's inclusive lower edge,
+    ``n`` = occupancy.  Bin assignment is pure integer arithmetic
+    (``lo + ((v - lo) div w) * w``), so edges are engine-exact — no
+    float binning drift.  Values below ``lo`` clamp into the first
+    bin; at/above ``hi`` (when given) into the last — the
+    standard overflow-bucket convention, keeping the output bounded
+    even under outliers.
+
+    Plan shape: one narrow projection + one hash-aggregate — map-side
+    partial combine makes the shuffle O(groups · bins) regardless of
+    row count; empty bins are absent (sparse form — densify by joining
+    a ``sequence()`` spine when a chart needs it).  The profiling
+    companion to `group_quantiles`.  Reference analog: none (mandated
+    LLM-pipeline surface).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if hi is not None and hi <= lo:
+        raise ValueError("hi must exceed lo")
+    v = F.col(value_col).cast("long")
+    v = F.greatest(v, F.lit(lo).cast("long"))
+    if hi is not None:
+        v = F.least(v, F.lit(hi - 1).cast("long"))
+    # exact integer edge: lo + ((v - lo) div w) * w — `div` is long
+    # division (no double round-trip, exact beyond 2^53)
+    clamped = df.select(
+        *[F.col(c) for c in group_cols], v.alias("__v")
+    )
+    bin_lo = F.lit(lo).cast("long") + F.expr(
+        f"(__v - {lo}) div {bin_width}"
+    ) * F.lit(bin_width).cast("long")
+    return (
+        clamped.select(*[F.col(c) for c in group_cols], bin_lo.alias("bin_lo"))
+        .groupBy(*group_cols, "bin_lo")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

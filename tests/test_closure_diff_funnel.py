@@ -1,0 +1,150 @@
+"""Unit tests: ancestor_closure (path doubling, min/max levels, cycle
+detection), keyed_diff (all four statuses, NULL payloads), group_histogram
+(clamping, exact edges), funnel_steps (greedy-complete chains)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop2owl_vocab_spark.operators.closure import ancestor_closure
+from omop2owl_vocab_spark.operators.diff import keyed_diff
+from omop2owl_vocab_spark.operators.funnel import funnel_steps
+from omop2owl_vocab_spark.operators.stats import group_histogram
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "child long, parent long")
+
+
+def _closure_dict(df):
+    return {
+        (r["ancestor"], r["descendant"]): (r["min_levels"], r["max_levels"])
+        for r in df.collect()
+    }
+
+
+def _py_closure(pairs):
+    """Brute-force oracle: DFS-enumerate all path lengths (small DAGs)."""
+    from collections import defaultdict
+
+    up = defaultdict(list)
+    for c, p in pairs:
+        up[c].append(p)
+    out = {}
+
+    def walk(start, node, depth):
+        for p in up[node]:
+            key = (p, start)
+            lo, hi = out.get(key, (depth + 1, depth + 1))
+            out[key] = (min(lo, depth + 1), max(hi, depth + 1))
+            walk(start, p, depth + 1)
+
+    for c in list(up):
+        walk(c, c, 0)
+    return out
+
+
+def test_closure_chain_and_diamond(spark):
+    # chain 4->3->2->1 plus shortcut 4->2: min(4,1)=2 via shortcut+edge,
+    # max(1,4)=3 via the full chain
+    pairs = [(4, 3), (3, 2), (2, 1), (4, 2)]
+    closure, stats = ancestor_closure(_edges(spark, pairs))
+    got = _closure_dict(closure)
+    assert got == _py_closure(pairs)
+    assert got[(1, 4)] == (2, 3)
+    assert stats["converged"]
+
+
+def test_closure_deep_chain_log_rounds(spark):
+    # 17-node path: depth 16 must close in ceil(log2(16))+1 = 5 rounds
+    pairs = [(i, i - 1) for i in range(1, 17)]
+    closure, stats = ancestor_closure(_edges(spark, pairs), max_iter=6)
+    got = _closure_dict(closure)
+    assert got[(0, 16)] == (16, 16)
+    assert len(got) == 17 * 16 // 2
+    assert stats["rounds"] <= 5
+
+
+def test_closure_cycle_raises(spark):
+    with pytest.raises(RuntimeError, match="CYCLE|fixpoint"):
+        ancestor_closure(_edges(spark, [(1, 2), (2, 3), (3, 1)]), max_iter=4)
+
+
+def test_closure_include_self(spark):
+    closure, _ = ancestor_closure(
+        _edges(spark, [(2, 1)]), include_self=True
+    )
+    got = _closure_dict(closure)
+    assert got == {(1, 2): (1, 1), (1, 1): (0, 0), (2, 2): (0, 0)}
+
+
+def test_keyed_diff_statuses_and_nulls(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v int",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in keyed_diff(new, old, ["k"]).collect()
+    }
+    assert got == {
+        1: ("unchanged", ""),
+        2: ("changed", "v"),  # NULL -> 20 is a change (null-safe eq)
+        3: ("removed", ""),
+        4: ("unchanged", ""),  # NULL == NULL payload is unchanged
+        5: ("added", ""),
+    }
+
+
+def test_keyed_diff_multi_column_names(spark):
+    old = spark.createDataFrame([(1, "a", 1)], "k long, s string, v int")
+    new = spark.createDataFrame([(1, "b", 2)], "k long, s string, v int")
+    row = keyed_diff(new, old, ["k"], ["s", "v"]).collect()[0]
+    assert (row["status"], row["changed_cols"]) == ("changed", "s,v")
+
+
+def test_histogram_clamps_and_edges(spark):
+    df = spark.createDataFrame(
+        [("x", -5), ("x", 0), ("x", 199), ("x", 200), ("x", 999), ("x", 5000)],
+        "g string, v long",
+    )
+    got = {
+        r["bin_lo"]: r["n"]
+        for r in group_histogram(df, ["g"], "v", 200, lo=0, hi=1000).collect()
+    }
+    # -5 and 0 and 199 clamp/fall into bin 0; 200 into bin 200;
+    # 999 into bin 800; 5000 clamps into the last bin (800)
+    assert got == {0: 3, 200: 1, 800: 2}
+
+
+def test_funnel_greedy_complete_and_abandonment(spark):
+    rows = [
+        # u1 completes: signup@1, click@2, purchase@3
+        ("u1", "signup", 1), ("u1", "click", 2), ("u1", "purchase", 3),
+        # u2 abandons after click; purchase BEFORE click must not count
+        ("u2", "purchase", 1), ("u2", "signup", 2), ("u2", "click", 5),
+        # u3 greedy-completeness: signup@1 and @4; click@2; purchase@5 —
+        # greedy anchors at 1 and still completes
+        ("u3", "signup", 1), ("u3", "signup", 4),
+        ("u3", "click", 2), ("u3", "purchase", 5),
+        # u4 never signs up -> absent from output
+        ("u4", "click", 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_type string, s int").select(
+        "user_id", "event_type", F.timestamp_seconds(F.col("s")).alias("ts")
+    )
+    got = {
+        r["user_id"]: (r["ts_1"], r["ts_2"], r["ts_3"], r["steps_completed"])
+        for r in funnel_steps(
+            ev, ["signup", "click", "purchase"]
+        ).collect()
+    }
+    m = 1_000_000
+    assert got == {
+        "u1": (1 * m, 2 * m, 3 * m, 3),
+        "u2": (2 * m, 5 * m, None, 2),
+        "u3": (1 * m, 2 * m, 5 * m, 3),
+    }
