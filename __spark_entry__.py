@@ -11,7 +11,7 @@ Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
 the identical signatures/buckets, the subword tokenizer is replayed by a
 recursive CTE over distinct words, and the multimodal feature extractor
-exports an exact-integer long form — 68/68 hash-checkable (r5;
+exports an exact-integer long form — 69/69 hash-checkable (r5;
 CORRECTNESS_FULL_r05.json carries the full record since the driver
 harness truncates at the first 50 dict entries — newest queries lead).
 """
@@ -2963,6 +2963,67 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def _kg_pagerank(spark, sf_dir):
+    """Fixed-iteration integer PageRank (`operators/graph.py`): 5 power
+    iterations at damping 85% over a deterministic cyclic graph derived
+    from customer keys (k → (7k+3) mod 1000 and k → k div 3 — the mod
+    edge creates cycles, the div edge funnels toward low keys).  Ranks
+    are 10^9-scaled longs updated with pure integer division, so the
+    DuckDB oracle unrolls the identical recurrence bit-for-bit — an
+    ITERATIVE algorithm verified hash-exact, no float reduction-order
+    drift possible."""
+    from omop2owl_vocab_spark.operators.graph import pagerank_fixed
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    e1 = cust.select(
+        F.col("c_custkey").alias("src"),
+        F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
+    )
+    e2 = cust.select(
+        F.col("c_custkey").alias("src"),
+        F.expr("c_custkey div 3").alias("dst"),
+    )
+    return pagerank_fixed(
+        e1.unionByName(e2), iterations=5, damping_pct=85
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+    base = (100 - damping_pct) * (10**9) // 100
+    head = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT c_custkey AS src, (c_custkey * 7 + 3) % 1000 AS dst FROM customer
+    UNION ALL
+    SELECT c_custkey AS src, c_custkey // 3 AS dst FROM customer
+  )
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+r{i} AS (
+  SELECT n.node,
+         CAST({base} + {damping_pct} * COALESCE(s.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.r // deg.deg) AS s
+    FROM r{i - 1} r JOIN e ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+    tail = f"\nSELECT node, r AS rank_e9 FROM r{iterations}"
+    return head + "".join(its) + tail
+
+
+_KG_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 # ---------------------------------------------------------------- exports
 
 
@@ -2978,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "kg_pagerank": _kg_pagerank,
         "kg_ancestors": _kg_ancestors,
         "q_table_diff": _q_table_diff,
         "q_funnel": _q_funnel,
@@ -3095,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack": _PIPE_PACK_SQL,
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
+        "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_ancestors": _KG_ANCESTORS_SQL,
         "q_table_diff": _Q_TABLE_DIFF_SQL,
         "q_funnel": _Q_FUNNEL_SQL,

@@ -1,0 +1,72 @@
+"""Unit tests for fixed-iteration integer PageRank
+(`operators/graph.py:pagerank_fixed`) against a pure-Python replay of
+the identical integer recurrence."""
+
+import pytest
+
+from omop2owl_vocab_spark.operators.graph import pagerank_fixed
+
+SCALE = 10**9
+
+
+def _py_pagerank(edges, iterations=5, damping_pct=85):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = (100 - damping_pct) * SCALE // 100
+    r = {n: SCALE for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: base + damping_pct * s[n] // 100 for n in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        row["node"]: row["rank_e9"]
+        for row in pagerank_fixed(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_python_replay(spark):
+    # cycle + funnel + dangling sink (4 has no out-edges)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4), (5, 4)]
+    got = _run(spark, edges)
+    assert got == _py_pagerank(edges)
+    # the sink with 4 in-edges outranks everyone
+    assert got[4] == max(got.values())
+    # dangling source 5 receives nothing but base mass after round 1
+    assert got[5] == (100 - 85) * SCALE // 100
+
+
+def test_pagerank_parallel_edges_collapse(spark):
+    got_dup = _run(spark, [(1, 2), (1, 2), (2, 1)])
+    got_one = _run(spark, [(1, 2), (2, 1)])
+    assert got_dup == got_one
+
+
+def test_pagerank_damping_zero_is_uniform_base(spark):
+    got = _run(spark, [(1, 2), (2, 3)], damping_pct=0)
+    assert set(got.values()) == {SCALE}
+
+
+def test_pagerank_self_loop_retains_mass(spark):
+    edges = [(1, 1), (2, 1)]
+    got = _run(spark, edges)
+    assert got == _py_pagerank(edges)
+    assert got[1] > got[2]
+
+
+def test_pagerank_validates_args(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    df_edges = [(1, 2)]
+    with pytest.raises(ValueError):
+        _run(spark, df_edges, iterations=0)
+    with pytest.raises(ValueError):
+        _run(spark, df_edges, damping_pct=101)
