@@ -2963,6 +2963,98 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def _q_session_paths(spark, sf_dir):
+    """Top-50 session journeys (`operators/funnel.py:session_paths`):
+    30-min-gap sessions, first 10 event types per session joined into a
+    '>'-path, counted, top-k via TakeOrderedAndProject.  Within-session
+    order is (ts, event_id) so equal timestamps can't flip the path
+    between engines; per-session state is capped at max_events."""
+    from omop2owl_vocab_spark.operators.funnel import session_paths
+
+    return session_paths(
+        _t(spark, sf_dir, "events"), gap_minutes=30, top_k=50, max_events=10
+    )
+
+
+_Q_SESSION_PATHS_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts_us, event_id) AS r
+  FROM s
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM capped WHERE r <= 10 GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 50
+"""
+
+
+def _q_cube(spark, sf_dir):
+    """CUBE aggregate with explicit grouping markers: all four grouping
+    sets over (returnflag, linestatus) in ONE pass (Catalyst's Expand
+    node — the input is scanned once, not 4×), GROUPING() exposed as an
+    integer column so '<all>' placeholders can't collide with real
+    values.  Completes the hierarchical-aggregate family next to
+    q_rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.floor(F.sum("l_quantity") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("sum_qty_e2"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias(
+                "returnflag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias(
+                "linestatus"
+            ),
+            "g_rf",
+            "g_ls",
+            "n_rows",
+            "sum_qty_e2",
+        )
+    )
+
+
+_Q_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       COUNT(*) AS n_rows,
+       CAST(floor(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_e2
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _kg_pagerank(spark, sf_dir):
     """Fixed-iteration integer PageRank (`operators/graph.py`): 5 power
     iterations at damping 85% over a deterministic cyclic graph derived
@@ -3040,6 +3132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
         "kg_pagerank": _kg_pagerank,
+        "q_cube": _q_cube,
+        "q_session_paths": _q_session_paths,
         "kg_ancestors": _kg_ancestors,
         "q_table_diff": _q_table_diff,
         "q_funnel": _q_funnel,
@@ -3158,6 +3252,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
+        "q_cube": _Q_CUBE_SQL,
+        "q_session_paths": _Q_SESSION_PATHS_SQL,
         "kg_ancestors": _KG_ANCESTORS_SQL,
         "q_table_diff": _Q_TABLE_DIFF_SQL,
         "q_funnel": _Q_FUNNEL_SQL,

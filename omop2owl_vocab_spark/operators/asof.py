@@ -159,8 +159,13 @@ def interval_join(
     grains); grain only tunes replication vs. bucket width.
 
     ``how``: 'inner' or 'left' (points with no covering interval kept,
-    interval payload NULL — implemented as inner + anti-union so the
-    hot path stays an equi-join).  Interval payload columns are
+    interval payload NULL).  Both run as ONE join: because a point owns
+    exactly one bucket, the exact range predicate can ride INSIDE the
+    join condition — Catalyst still extracts the (key?, bucket)
+    equality pair for the hash/sort-merge join and applies the range as
+    the residual join filter, so left-outer semantics (one NULL row per
+    uncovered point) come out of the same single pass as inner, with no
+    second match-set computation.  Interval payload columns are
     prefixed ``iv_``.  Reference analog: none (mandated LLM-pipeline /
     temporal surface).
     """
@@ -186,31 +191,27 @@ def interval_join(
             ).alias("__b"),
         )
     )
-    keys = ([on] if on else []) + ["__b"]
-    j = p.join(i, keys, "inner")
-    in_range = (
-        F.unix_micros(F.col(point_ts).cast("timestamp"))
-        >= F.unix_micros(F.col(f"__iv.{start_ts}").cast("timestamp"))
-    ) & (
-        F.unix_micros(F.col(point_ts).cast("timestamp"))
-        < F.unix_micros(F.col(f"__iv.{end_ts}").cast("timestamp"))
+    p = p.alias("__p")
+    i = i.alias("__i")
+    cond = F.col("__p.__b") == F.col("__i.__b")
+    if on:
+        cond = cond & (F.col(f"__p.{on}") == F.col(f"__i.{on}"))
+    pt_us = F.unix_micros(F.col(f"__p.{point_ts}").cast("timestamp"))
+    cond = (
+        cond
+        & (
+            pt_us
+            >= F.unix_micros(
+                F.col(f"__i.__iv.{start_ts}").cast("timestamp")
+            )
+        )
+        & (
+            pt_us
+            < F.unix_micros(F.col(f"__i.__iv.{end_ts}").cast("timestamp"))
+        )
     )
-    hit = j.filter(in_range)
-    out_cols = [F.col(c) for c in points.columns] + [
-        F.col(f"__iv.{c}").alias(f"iv_{c}") for c in ivc
-    ]
-    inner = hit.select(*out_cols)
-    if how == "inner":
-        return inner
-    misses = p.join(
-        hit.select(*[F.col(c) for c in points.columns]).distinct(),
-        points.columns,
-        "left_anti",
-    ).select(
-        *[F.col(c) for c in points.columns],
-        *[
-            F.lit(None).cast(intervals.schema[c].dataType).alias(f"iv_{c}")
-            for c in ivc
-        ],
+    j = p.join(i, cond, how)
+    return j.select(
+        *[F.col(f"__p.{c}") for c in points.columns],
+        *[F.col(f"__i.__iv.{c}").alias(f"iv_{c}") for c in ivc],
     )
-    return inner.unionByName(misses)

@@ -77,3 +77,95 @@ def funnel_steps(
     return out.select(
         user_col, *ts_cols, completed.alias("steps_completed")
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top_k: int = 100,
+    max_events: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session paths: sessionize by inactivity gap (strict-> break,
+    the same boundary rule as Spark's ``session_window``, verified in
+    the sessionize oracle), string the first ``max_events`` event types
+    of each session into an ordered '>'-joined path, and return the
+    ``top_k`` most frequent paths as ``(path, n_sessions)`` — the
+    behavioral-pattern-mining primitive (which journeys dominate, where
+    do they fork).
+
+    Determinism: within-session order is (ts, event id) — the id
+    tiebreak makes the path unique even under equal timestamps, and the
+    DuckDB oracle replays it with an ORDER BY inside ``string_agg``.
+    ``max_events`` caps per-session state (a bot session with 10^6
+    events contributes a 20-step path, not a gigabyte string).
+
+    Plan shape: ONE user-partitioned sort (window) computes the session
+    break/cumsum AND the per-session row cap; then a per-session
+    hash-aggregate builds the path arrays (``array_sort`` of
+    (ts, id, type) structs — collect_list is order-nondeterministic
+    under shuffle, the sort restores exactness), one more hash-agg
+    counts paths, and top-k executes as TakeOrderedAndProject (heap per
+    partition, no global sort).  Reference analog: none (mandated
+    events surface; streaming sessionize twin in
+    `streaming/sessionize.py`).
+    """
+    if gap_minutes <= 0 or top_k <= 0 or max_events <= 0:
+        raise ValueError("gap_minutes, top_k, max_events must be positive")
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__et"),
+        F.col(id_col).alias("__id"),
+        ts_us.alias("__ts"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__id")
+    lag_ts = F.lag("__ts").over(w)
+    # two window layers share one partitioning+sort: Catalyst stacks the
+    # lag and the running sum on a single exchange/sort pair
+    marked = ev.select(
+        "*",
+        F.when(lag_ts.isNull() | (F.col("__ts") - lag_ts > gap_us), 1)
+        .otherwise(0)
+        .alias("__brk"),
+    )
+    sess = marked.select(
+        "*",
+        F.sum("__brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__sid"),
+    )
+    ws = Window.partitionBy("__u", "__sid").orderBy("__ts", "__id")
+    capped = sess.withColumn("__r", F.row_number().over(ws)).filter(
+        F.col("__r") <= max_events
+    )
+    paths = (
+        capped.groupBy("__u", "__sid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__ts"), F.col("__id"), F.col("__et")
+                            )
+                        )
+                    ),
+                    lambda x: x["__et"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

@@ -148,3 +148,46 @@ def test_funnel_greedy_complete_and_abandonment(spark):
         "u2": (2 * m, 5 * m, None, 2),
         "u3": (1 * m, 2 * m, 5 * m, 3),
     }
+
+
+def test_session_paths_gap_cap_and_ties(spark):
+    from omop2owl_vocab_spark.operators.funnel import session_paths
+
+    m = 60 * 1_000_000  # one minute in micros
+    rows = [
+        # u1 session 1: a,b (gap 1 min); session 2 after 31 min: c
+        ("u1", 1, "a", 0), ("u1", 2, "b", 1), ("u1", 3, "c", 32),
+        # u2 mirrors u1's first session -> path 'a>b' counts twice
+        ("u2", 4, "a", 100), ("u2", 5, "b", 101),
+        # u3: equal timestamps — event_id must break the tie (4 < 5... use 6,7)
+        ("u3", 6, "x", 200), ("u3", 7, "y", 200),
+        # u4: cap at max_events=3 — 5 events, path keeps first 3
+        ("u4", 8, "a", 300), ("u4", 9, "a", 301), ("u4", 10, "a", 302),
+        ("u4", 11, "z", 303), ("u4", 12, "z", 304),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, mins long"
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds(F.col("mins") * 60).alias("ts"),
+    )
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(ev, gap_minutes=30, max_events=3).collect()
+    }
+    assert got == {"a>b": 2, "c": 1, "x>y": 1, "a>a>a": 1}
+
+
+def test_session_paths_exact_gap_merges(spark):
+    # the strict-> rule: an event EXACTLY gap later stays in-session
+    from omop2owl_vocab_spark.operators.funnel import session_paths
+
+    ev = spark.createDataFrame(
+        [("u", 1, "a", 0), ("u", 2, "b", 30 * 60)],
+        "user_id string, event_id long, event_type string, s long",
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+    )
+    got = [r["path"] for r in session_paths(ev, gap_minutes=30).collect()]
+    assert got == ["a>b"]

@@ -287,3 +287,78 @@ def test_owl_fragments_single_aggregate(spark):
     plan = _plan(owl_class_fragments(triples))
     # exactly one shuffle (the subj hash-aggregate)
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_kmv_window_group_limit_partial(spark):
+    """The KMV sketch's whole scale story is the WindowGroupLimit
+    PARTIAL push: each map task forwards at most k rows per group, so
+    the exchange carries O(groups·k), not O(distinct).  Both the
+    Partial and Final limit nodes must be present."""
+    from omop2owl_vocab_spark.operators.sketch import kmv_distinct
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    plan = _plan(kmv_distinct(toks, ["lang"], "token", k=64))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan, plan[:2000]
+
+
+def test_mixture_sample_shuffle_free(spark):
+    """mixture_sample claims to be a pure projection + explode — any
+    Exchange or Python node means the partitioning-invariant sampler
+    fell off the narrow path."""
+    from omop2owl_vocab_spark.operators.sample import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        mixture_sample(
+            docs.select("doc_id", "source"), {"src0": 0.5, "src1": 2.5}
+        )
+    )
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_interval_join_is_hash_equi_join(spark):
+    """interval_join exists to avoid the range-join explosion: the plan
+    must contain a hash equi-join (sort-merge or broadcast-hash) and no
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    from omop2owl_vocab_spark.operators.asof import interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.select("event_id", "user_id", "ts")
+    ivs = ev.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end"),
+    )
+    plan = _plan(interval_join(pts, ivs, on="user_id"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan[:2000]
+
+
+def test_keyed_diff_single_join(spark):
+    """keyed_diff is ONE full-outer join + a projection — a second Join
+    node (e.g. a re-join for changed_cols) would double the cost."""
+    from omop2owl_vocab_spark.operators.diff import keyed_diff
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    plan = _plan(keyed_diff(old, old, ["o_orderkey"]))
+    assert plan.count("Join") == 1, plan[:2000]
+
+
+def test_histogram_single_aggregate(spark):
+    """group_histogram must compile to one partial+final hash-aggregate
+    pair over one exchange — and no Expand/Window nodes."""
+    from omop2owl_vocab_spark.operators.stats import group_histogram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(group_histogram(docs, ["lang"], "n_chars", 200, 0, 4000))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
