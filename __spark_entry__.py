@@ -11,7 +11,7 @@ Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
 the identical signatures/buckets, the subword tokenizer is replayed by a
 recursive CTE over distinct words, and the multimodal feature extractor
-exports an exact-integer long form — 71/71 hash-checkable (r5;
+exports an exact-integer long form — 73/73 hash-checkable (r5;
 CORRECTNESS_FULL_r05.json carries the full record since the driver
 harness truncates at the first 50 dict entries — newest queries lead).
 """
@@ -2963,6 +2963,85 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def _txt_skipgrams(spark, sf_dir):
+    """Top-100 windowed skip-gram co-occurrence pairs (forward distance
+    ≤ 3) over `documents` — the word2vec/GloVe positive-pair generator
+    (`operators/text.py:skipgram_cooccurrence`): one tokenize, all
+    offsets via zip_with slices, one explode + one hash-agg."""
+    from omop2owl_vocab_spark.operators.text import skipgram_cooccurrence
+
+    return skipgram_cooccurrence(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5, top_m=100
+    )
+
+
+_TXT_SKIPGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> ''))) AS w,
+         generate_subscripts(list_filter(string_split_regex(trim(text),
+                                                            '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+)
+SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+GROUP BY a.w, b.w HAVING COUNT(*) >= 5
+ORDER BY c_xy DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+
+def _kg_triangles(spark, sf_dir):
+    """Exact triangle count (`operators/graph.py:triangle_count`) by
+    degree orientation — per-key wedge fan-out capped at O(√m) before
+    AQE even looks, the standard MPC scheme — over a deterministic
+    customer-key graph (chain k→k+1, skip k→k+2 → one triangle per
+    consecutive key triple, plus the (7k+3) mod 1000 cross edges for
+    irregular closures).  Oracle: canonical a<b<c three-way self-join."""
+    from omop2owl_vocab_spark.operators.graph import triangle_count
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    raw = (
+        cust.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") + 1).alias("dst"),
+        )
+        .unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") + 2).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
+            )
+        )
+    )
+    return triangle_count(raw)
+
+
+_KG_TRIANGLES_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM raw WHERE s <> t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def _q_session_paths(spark, sf_dir):
     """Top-50 session journeys (`operators/funnel.py:session_paths`):
     30-min-gap sessions, first 10 event types per session joined into a
@@ -3132,6 +3211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
         "kg_pagerank": _kg_pagerank,
+        "kg_triangles": _kg_triangles,
+        "txt_skipgrams": _txt_skipgrams,
         "q_cube": _q_cube,
         "q_session_paths": _q_session_paths,
         "kg_ancestors": _kg_ancestors,
@@ -3252,6 +3333,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_pack_tokens": _PIPE_PACK_TOKENS_SQL,
         "pipe_pack_slices": _PIPE_PACK_SLICES_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
+        "kg_triangles": _KG_TRIANGLES_SQL,
+        "txt_skipgrams": _TXT_SKIPGRAMS_SQL,
         "q_cube": _Q_CUBE_SQL,
         "q_session_paths": _Q_SESSION_PATHS_SQL,
         "kg_ancestors": _KG_ANCESTORS_SQL,

@@ -670,3 +670,65 @@ def bigram_pmi(
         )
         .limit(top_m)
     )
+
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    top_m: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed skip-gram co-occurrence: the ``top_m`` ordered token
+    pairs (w1 before w2, forward distance ≤ ``window``) by occurrence
+    count — the embedding-training / co-occurrence-matrix primitive
+    (word2vec's positive-pair generator, GloVe's X_ij builder),
+    generalizing `bigram_pmi`'s distance-1 pairs.
+
+    Plan shape: ONE tokenize projection builds ALL window offsets at
+    once — for each d in 1..window the two-slice ``zip_with`` idiom
+    (see `repetition_flags`; per-element ``element_at`` is O(n²))
+    yields the distance-d pairs, ``flatten`` concatenates them, and a
+    single ``explode`` feeds one hash-aggregate: tokens are scanned
+    once, not ``window`` times, and the pair stream is length
+    ``Σ_d (len-d)`` ≈ window·len — linear with a plan-time constant.
+    Top-m via orderBy+limit → TakeOrderedAndProject; ties broken
+    (count desc, w1, w2) — exact integers, engine-independent.
+    Counting is per OCCURRENCE (multiset, the GloVe convention),
+    unweighted; compose distance weighting downstream by emitting d
+    — deliberately omitted here to keep the aggregate one long per
+    pair.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_count < 1 or top_m <= 0:
+        raise ValueError("min_count and top_m must be positive")
+    toks = df.select(
+        F.transform(_tokens(F.col(text_col)), lambda t: F.lower(t)).alias(
+            "__t"
+        )
+    )
+    n = F.size("__t")
+
+    def pairs_at(d: int):
+        return F.when(
+            n >= d + 1,
+            F.zip_with(
+                F.slice("__t", 1, n - d),
+                F.slice("__t", d + 1, n - d),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    all_pairs = toks.select(
+        F.explode(
+            F.flatten(F.array(*[pairs_at(d) for d in range(1, window + 1)]))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        all_pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .orderBy(F.col("c_xy").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_m)
+    )

@@ -191,3 +191,29 @@ def test_session_paths_exact_gap_merges(spark):
     )
     got = [r["path"] for r in session_paths(ev, gap_minutes=30).collect()]
     assert got == ["a>b"]
+
+
+def test_skipgram_window_and_order(spark):
+    from omop2owl_vocab_spark.operators.text import skipgram_cooccurrence
+
+    docs = spark.createDataFrame(
+        [("a b c d",), ("a b",)], "text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): r["c_xy"]
+        for r in skipgram_cooccurrence(
+            docs, window=2, min_count=1, top_m=100
+        ).collect()
+    }
+    # doc1 pairs: d1 (a,b)(b,c)(c,d); d2 (a,c)(b,d); doc2: (a,b)
+    assert got == {
+        ("a", "b"): 2, ("b", "c"): 1, ("c", "d"): 1,
+        ("a", "c"): 1, ("b", "d"): 1,
+    }
+
+
+def test_skipgram_short_docs_safe(spark):
+    from omop2owl_vocab_spark.operators.text import skipgram_cooccurrence
+
+    docs = spark.createDataFrame([("solo",), ("",), (None,)], "text string")
+    assert skipgram_cooccurrence(docs, window=3, min_count=1).count() == 0

@@ -70,3 +70,39 @@ def test_pagerank_validates_args(spark):
         _run(spark, df_edges, iterations=0)
     with pytest.raises(ValueError):
         _run(spark, df_edges, damping_pct=101)
+
+
+# ---------------------------------------------------------- triangle count
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from omop2owl_vocab_spark.operators.graph import triangle_count
+
+    return triangle_count(df).collect()[0]["n_triangles"]
+
+
+def test_triangle_basic_and_dedup(spark):
+    # one triangle; duplicate/reversed/self edges must not change it
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1), (1, 2), (1, 1)]
+    assert _tri(spark, edges) == 1
+
+
+def test_triangle_k4_has_four(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    assert _tri(spark, edges) == 4
+
+
+def test_triangle_star_has_none(spark):
+    assert _tri(spark, [(0, i) for i in range(1, 6)]) == 0
+
+
+def test_triangle_hub_bounded(spark):
+    # hub 0 connected to a 20-cycle: triangles = 20 (each cycle edge
+    # closes with the hub); exercises the degree-orientation path where
+    # the hub is always the HIGH endpoint
+    n = 20
+    edges = [(0, i) for i in range(1, n + 1)] + [
+        (i, i % n + 1) for i in range(1, n + 1)
+    ]
+    assert _tri(spark, edges) == n
