@@ -3089,6 +3089,39 @@ LIMIT 50
 """
 
 
+def _q_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (`operators/funnel.py:transition_matrix`): lag() over the
+    (ts, event_id)-ordered stream per user, count each (from_type,
+    to_type) pair, row-normalize in exact 4-decimal fixed point via
+    INTEGER division so DuckDB and Spark can't diverge on float
+    rounding.  The normalizing window runs over the aggregated matrix
+    (|types|^2 rows) — free at any corpus scale."""
+    from omop2owl_vocab_spark.operators.funnel import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+_Q_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS from_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST((n * 10000) // CAST(SUM(n) OVER (PARTITION BY from_type)
+                                AS BIGINT) AS BIGINT) AS prob_e4
+FROM c
+"""
+
+
 def _q_cube(spark, sf_dir):
     """CUBE aggregate with explicit grouping markers: all four grouping
     sets over (returnflag, linestatus) in ONE pass (Catalyst's Expand
@@ -3210,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_transitions": _q_transitions,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
         "txt_skipgrams": _txt_skipgrams,
@@ -3337,6 +3371,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_skipgrams": _TXT_SKIPGRAMS_SQL,
         "q_cube": _Q_CUBE_SQL,
         "q_session_paths": _Q_SESSION_PATHS_SQL,
+        "q_transitions": _Q_TRANSITIONS_SQL,
         "kg_ancestors": _KG_ANCESTORS_SQL,
         "q_table_diff": _Q_TABLE_DIFF_SQL,
         "q_funnel": _Q_FUNNEL_SQL,

@@ -169,3 +169,57 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(from_type, to_type, n, prob_e4)`` where ``prob_e4``
+    is the row-normalized transition probability in 4-decimal fixed
+    point computed by INTEGER division (``n·10^4 div row_total``) — the
+    user-journey model behind next-event prediction and anomaly
+    scoring, engine-exact by construction.
+
+    Sequence order is (ts, event id) — same deterministic tiebreak as
+    `session_paths`.  Plan shape: one user-partitioned window (lag) →
+    one hash-agg on (from, to) → a window-sum per ``from`` row for the
+    denominator — the second window runs over the AGGREGATED matrix
+    (|types|² rows at most), so its cost is nil at any corpus scale;
+    the heavy data touches exactly one exchange + one agg.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(id_col)
+    )
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("to_type"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),
+            F.col(id_col),
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000").alias("__num"),
+        tot.alias("__tot"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __tot").alias("prob_e4"),
+    )

@@ -217,3 +217,53 @@ def test_skipgram_short_docs_safe(spark):
 
     docs = spark.createDataFrame([("solo",), ("",), (None,)], "text string")
     assert skipgram_cooccurrence(docs, window=3, min_count=1).count() == 0
+
+
+def test_transition_matrix_counts_and_fixed_point(spark):
+    from omop2owl_vocab_spark.operators.funnel import transition_matrix
+
+    rows = [
+        # u1: a->b->a ; u2: a->b ; u3: a->c
+        ("u1", 1, "a", 0), ("u1", 2, "b", 1), ("u1", 3, "a", 2),
+        ("u2", 4, "a", 10), ("u2", 5, "b", 11),
+        ("u3", 6, "a", 20), ("u3", 7, "c", 21),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, s long"
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob_e4"])
+        for r in transition_matrix(
+            ev, user_col="user_id", type_col="event_type",
+            ts_col="ts", id_col="event_id",
+        ).collect()
+    }
+    # from 'a': 3 transitions (a>b x2, a>c x1) -> 20000//3, 10000//3
+    # from 'b': 1 transition (b>a) -> 10000
+    assert got == {
+        ("a", "b"): (2, 6666),
+        ("a", "c"): (1, 3333),
+        ("b", "a"): (1, 10000),
+    }
+
+
+def test_transition_matrix_tie_and_single_event_users(spark):
+    from omop2owl_vocab_spark.operators.funnel import transition_matrix
+
+    rows = [
+        # equal timestamps: event_id breaks the tie -> x precedes y
+        ("u1", 1, "x", 5), ("u1", 2, "y", 5),
+        # single-event user contributes no transitions
+        ("u2", 3, "z", 9),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, s long"
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+    )
+    got = [tuple(r) for r in transition_matrix(ev).collect()]
+    assert got == [("x", "y", 1, 10000)]
