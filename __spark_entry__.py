@@ -3122,6 +3122,88 @@ FROM c
 """
 
 
+def _kg_degree_profile(spark, sf_dir):
+    """Degree-frequency profile (`operators/graph.py:
+    degree_distribution`) of the order→part bipartite graph
+    (lineitem edges, multiplicity kept): out-degree = lines per order,
+    in-degree = part popularity — the skew diagnostic read before
+    picking salting/broadcast strategy.  Plan: one scan, explode both
+    endpoints, two hash-aggs, zero joins/sorts (plan-pinned in
+    test_pagerank)."""
+    from omop2owl_vocab_spark.operators.graph import degree_distribution
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return degree_distribution(li)
+
+
+_KG_DEGREE_PROFILE_SQL = """
+WITH ends AS (
+  SELECT 'out' AS direction, l_orderkey AS node FROM lineitem
+  UNION ALL
+  SELECT 'in' AS direction, l_partkey AS node FROM lineitem
+),
+deg AS (
+  SELECT direction, node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM ends GROUP BY direction, node
+)
+SELECT direction, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY direction, degree
+"""
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier screen (`operators/stats.py:
+    mad_outliers`): nearest-rank median + MAD per order priority over
+    o_totalprice, 3·MAD fence in integer hundredths.  Both medians are
+    selected data values (integer-rank arithmetic), the flag count is
+    an integer sum — hash-exact despite the double value column."""
+    from omop2owl_vocab_spark.operators.stats import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        k_e2=300,
+    )
+
+
+_Q_MAD_OUTLIERS_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM base
+),
+med AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+         MAX(CASE WHEN r = (50 * n + 99) // 100 THEN v END) AS med
+  FROM r1 GROUP BY g
+),
+dev AS (
+  SELECT b.g, m.n, m.med, ABS(b.v - m.med) AS d
+  FROM base b JOIN med m ON b.g = m.g
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY d) AS r FROM dev
+),
+wm AS (
+  SELECT *, MAX(CASE WHEN r = (50 * n + 99) // 100 THEN d END)
+              OVER (PARTITION BY g) AS mad
+  FROM r2
+)
+SELECT g AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+       MAX(med) AS med, MAX(mad) AS mad,
+       CAST(SUM(CASE WHEN d * 100.0 > mad * 300.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM wm GROUP BY g
+"""
+
+
 def _q_cube(spark, sf_dir):
     """CUBE aggregate with explicit grouping markers: all four grouping
     sets over (returnflag, linestatus) in ONE pass (Catalyst's Expand
@@ -3244,6 +3326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
         "q_transitions": _q_transitions,
+        "kg_degree_profile": _kg_degree_profile,
+        "q_mad_outliers": _q_mad_outliers,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
         "txt_skipgrams": _txt_skipgrams,
@@ -3372,6 +3456,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cube": _Q_CUBE_SQL,
         "q_session_paths": _Q_SESSION_PATHS_SQL,
         "q_transitions": _Q_TRANSITIONS_SQL,
+        "kg_degree_profile": _KG_DEGREE_PROFILE_SQL,
+        "q_mad_outliers": _Q_MAD_OUTLIERS_SQL,
         "kg_ancestors": _KG_ANCESTORS_SQL,
         "q_table_diff": _Q_TABLE_DIFF_SQL,
         "q_funnel": _Q_FUNNEL_SQL,

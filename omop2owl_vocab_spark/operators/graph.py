@@ -173,3 +173,50 @@ def triangle_count(
         "inner",
     )
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def degree_distribution(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree-frequency profile of a directed edge list:
+    ``(direction, degree, n_nodes)`` where ``direction`` is ``'out'``
+    (node appears as source) or ``'in'`` (as destination) and
+    ``n_nodes`` counts nodes of exactly that degree — the power-law /
+    skew diagnostic read before choosing a join strategy (a hub whose
+    in-degree dwarfs the median is the row you salt).  Degrees count
+    edge MULTIPLICITY (parallel edges each contribute), matching the
+    shuffle-volume semantics the profile exists to predict.
+
+    Plan shape: one scan — both endpoints leave the scan as a 2-array
+    explode tagged with the direction literal — then two hash-aggs:
+    (direction, node) → degree (map-side partial combine, the only
+    data-sized shuffle) and (direction, degree) → n_nodes (output is
+    at most 2·|distinct degrees| rows, nil).  No window, no sort, no
+    join; isolated node IDs simply never appear (0-degree rows are
+    absent by construction — densify against a node spine if needed).
+
+    100 TB posture: linear, one edge-sized shuffle keyed by node — the
+    same key PageRank/CC shuffle on, so the profile costs no more than
+    one iteration of either.  Reference analog: none (graph-profiling
+    surface next to `pagerank_fixed`/`triangle_count`).
+    """
+    ends = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("out").alias("direction"),
+                    F.col(src_col).alias("node"),
+                ),
+                F.struct(
+                    F.lit("in").alias("direction"),
+                    F.col(dst_col).alias("node"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.direction", "e.node")
+    deg = ends.groupBy("direction", "node").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    return deg.groupBy("direction", "degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

@@ -123,3 +123,85 @@ def group_histogram(
         .groupBy(*group_cols, "bin_lo")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k_e2: int = 300,
+) -> DataFrame:
+    """Robust per-group outlier profile via median absolute deviation:
+    one row per group with ``n``, ``med`` (lower nearest-rank median),
+    ``mad`` (nearest-rank median of ``|x - med|``), and ``n_outliers``
+    = rows where ``|x - med| · 100 > k_e2 · mad`` (``k_e2`` is the
+    threshold in hundredths, default 300 = the classic 3·MAD fence).
+    MAD-based fences resist the masking that breaks mean/stddev fences
+    (the outliers inflate the stddev that is supposed to catch them) —
+    the curation-grade anomaly screen for price/latency/length columns.
+
+    Engine-exactness: both medians are ACTUAL data values selected by
+    the same nearest-rank integer arithmetic as `group_quantiles`
+    (``(50·n + 99) div 100``); the only float ops are per-row subtract
+    / abs / multiply-by-integer-constant — single IEEE-754 operations
+    with one correctly-rounded result in any engine, no
+    summation-order exposure (the only SUM is an integer flag count).
+
+    Plan shape: two per-group sorts sharing the group-key partitioning
+    (rank by value → median; rank by deviation → MAD as an unordered
+    window max over the same exchange) plus one group-key equi-join
+    gluing the median back to the rows.  At extreme per-group
+    cardinality the same histogram-prune escape documented on
+    `group_quantiles` applies.  Reference analog: none (mandated
+    LLM-pipeline profiling surface).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if k_e2 <= 0:
+        raise ValueError("k_e2 must be a positive integer")
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w1 = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+    wn = Window.partitionBy(*group_cols)
+    ranked = base.select(
+        "*",
+        F.row_number().over(w1).alias("__r"),
+        F.count("*").over(wn).cast("long").alias("__n"),
+    )
+    med = ranked.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.max(
+            F.when(F.col("__r") == F.expr("(50 * __n + 99) div 100"),
+                   F.col("__v"))
+        ).alias("med"),
+    )
+    dev = base.join(med, group_cols).select(
+        *[F.col(c) for c in group_cols],
+        "n",
+        "med",
+        F.abs(F.col("__v") - F.col("med")).alias("__d"),
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.col("__d").asc())
+    with_mad = dev.select(
+        "*", F.row_number().over(w2).alias("__r")
+    ).select(
+        "*",
+        F.max(
+            F.when(F.col("__r") == F.expr("(50 * n + 99) div 100"),
+                   F.col("__d"))
+        ).over(wn).alias("mad"),
+    )
+    return with_mad.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(
+                F.col("__d") * F.lit(100).cast("double")
+                > F.col("mad") * F.lit(int(k_e2)).cast("double"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )

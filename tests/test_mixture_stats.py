@@ -140,3 +140,56 @@ def test_quantiles_single_window_plan(spark):
     # and ONE sort — the quantile pass reads and sorts each group once
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort [") == 1
+
+
+def test_mad_outliers_hand_computed(spark):
+    from omop2owl_vocab_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [("b", 5.0)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+        for r in mad_outliers(df, ["g"], "v").collect()
+    }
+    # a: med=3 (rank ceil(5/2)=3 of 1,2,3,4,100); devs sorted
+    # 0,1,1,2,97 -> mad=1; fence 3*1 -> only 97 exceeds.
+    # b: singleton -> mad=0, dev=0 is NOT > 0 -> no outlier.
+    assert got == {"a": (5, 3.0, 1.0, 1), "b": (1, 5.0, 0.0, 0)}
+
+
+def test_mad_outliers_zero_mad_flags_any_deviation(spark):
+    from omop2owl_vocab_spark.operators.stats import mad_outliers
+
+    # majority identical -> mad=0 -> every deviating row is an outlier
+    df = spark.createDataFrame(
+        [("g", 7.0), ("g", 7.0), ("g", 7.0), ("g", 7.5), ("g", 6.0)],
+        "g string, v double",
+    )
+    row = mad_outliers(df, ["g"], "v").collect()[0]
+    assert (row["med"], row["mad"], row["n_outliers"]) == (7.0, 0.0, 2)
+
+
+def test_mad_outliers_even_group_lower_median(spark):
+    from omop2owl_vocab_spark.operators.stats import mad_outliers
+
+    # n=4 -> median rank (50*4+99) div 100 = 2 (LOWER median)
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)],
+        "g string, v double",
+    )
+    row = mad_outliers(df, ["g"], "v").collect()[0]
+    # med=2; devs 1,0,1,2 sorted 0,1,1,2 -> mad at rank 2 = 1
+    assert (row["n"], row["med"], row["mad"], row["n_outliers"]) == (4, 2.0, 1.0, 0)
+
+
+def test_mad_outliers_validation(spark):
+    import pytest as _pt
+    from omop2owl_vocab_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with _pt.raises(ValueError):
+        mad_outliers(df, [], "v")
+    with _pt.raises(ValueError):
+        mad_outliers(df, ["g"], "v", k_e2=0)

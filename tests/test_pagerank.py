@@ -106,3 +106,26 @@ def test_triangle_hub_bounded(spark):
         (i, i % n + 1) for i in range(1, n + 1)
     ]
     assert _tri(spark, edges) == n
+
+
+def test_degree_distribution_multiplicity_and_directions(spark):
+    from omop2owl_vocab_spark.operators.graph import degree_distribution
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {
+        (r["direction"], r["degree"]): r["n_nodes"]
+        for r in degree_distribution(e).collect()
+    }
+    # out: node1 deg3 (parallel edge counts), node2 deg1
+    # in: nodes 2 and 3 both deg2
+    assert got == {("out", 3): 1, ("out", 1): 1, ("in", 2): 2}
+
+
+def test_degree_distribution_single_scan_plan(spark):
+    from omop2owl_vocab_spark.operators.graph import degree_distribution
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    plan = degree_distribution(e)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Sort" not in plan.replace("SortAggregate", "")
