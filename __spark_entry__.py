@@ -3204,6 +3204,154 @@ FROM wm GROUP BY g
 """
 
 
+def _kg_fuzzy_pairs(spark, sf_dir):
+    """Entity-resolution candidate pairs (`operators/resolve.py:
+    fuzzy_pairs`): customers within a nation block whose canonicalized
+    names are ≤1 edit apart — Fellegi–Sunter blocking with a
+    length-band prefilter and Spark's thresholded (early-abandon)
+    Levenshtein, all join-time, zero Python.  Names canonicalize to
+    lowercase ASCII so Spark's codepoint distance and DuckDB's byte
+    distance coincide."""
+    from omop2owl_vocab_spark.operators.resolve import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_col="c_nationkey",
+        max_dist=1,
+    )
+
+
+_KG_FUZZY_PAIRS_SQL = """
+WITH n AS (
+  SELECT c_custkey AS id, c_nationkey AS block,
+         regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS nm
+  FROM customer
+)
+SELECT a.id AS id_l, b.id AS id_r, a.block AS block,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM n a JOIN n b
+  ON a.block = b.block AND a.id < b.id
+WHERE abs(length(a.nm) - length(b.nm)) <= 1
+  AND levenshtein(a.nm, b.nm) <= 1
+"""
+
+
+def _q_cohorts(spark, sf_dir):
+    """Weekly cohort-retention triangle (`operators/funnel.py:
+    cohort_retention`): users bucketed by first-activity epoch-week,
+    counted once per later week they return.  Distinct (user, week) →
+    per-user window-min cohort → tiny (cohort, offset) agg; buckets
+    are integer epoch-day arithmetic, no calendar exposure."""
+    from omop2owl_vocab_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), bucket_days=7)
+
+
+_Q_COHORTS_SQL = """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u,
+         (epoch_us(ts) // 86400000000) // 7 AS b
+  FROM events
+),
+c AS (
+  SELECT u, b, MIN(b) OVER (PARTITION BY u) AS cohort FROM ub
+)
+SELECT cohort AS cohort_bucket,
+       b - cohort AS offset_buckets,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY cohort, b - cohort
+"""
+
+
+def _q_gap_fill(spark, sf_dir):
+    """Per-event-type contiguous daily series (`operators/timeseries.py:
+    gap_fill_daily`): counts per epoch day with explicit zeros across
+    each key's [first, last] span — the densification every trend /
+    moving-average readout assumes.  Spine rows are engine-generated
+    (sequence + explode), never collected."""
+    from omop2owl_vocab_spark.operators.timeseries import gap_fill_daily
+
+    return gap_fill_daily(_t(spark, sf_dir, "events"), "event_type")
+
+
+_Q_GAP_FILL_SQL = """
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rng AS (
+  SELECT key, MIN(day) AS lo, MAX(day) AS hi FROM counts GROUP BY key
+),
+spine AS (
+  SELECT key, UNNEST(generate_series(lo, hi)) AS day FROM rng
+)
+SELECT s.key, s.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN counts c ON s.key = c.key AND s.day = c.day
+"""
+
+
+def _q_deciles(spark, sf_dir):
+    """Equal-frequency binning (`operators/stats.py:equal_freq_bins`):
+    o_totalprice deciles per order priority — SQL-standard NTILE row
+    arithmetic (first n mod 10 buckets take the ceil), per-bin
+    occupancy + actual lo/hi values.  One per-group sort + one
+    hash-agg."""
+    from omop2owl_vocab_spark.operators.stats import equal_freq_bins
+
+    return equal_freq_bins(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        n_bins=10,
+    )
+
+
+_Q_DECILES_SQL = """
+WITH t AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(ntile(10) OVER (PARTITION BY o_orderpriority ORDER BY
+                              o_totalprice) AS BIGINT) AS bin
+  FROM orders
+)
+SELECT o_orderpriority, bin, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(v) AS lo, MAX(v) AS hi
+FROM t GROUP BY o_orderpriority, bin
+"""
+
+
+def _q_pivot(spark, sf_dir):
+    """Pivot (`DataFrame.pivot` with an EXPLICIT value list — no
+    value-discovery pre-job, the scale-correct form): lineitem counts
+    and quantity sums as a (linestatus × returnflag) wide table.
+    Catalyst compiles this to ONE hash-aggregate with conditional
+    aggregates — the input is scanned once, not once per column."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)).cast("long"))
+        .select(
+            "l_linestatus",
+            F.coalesce(F.col("A"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("N"), F.lit(0)).cast("long").alias("n_n"),
+            F.coalesce(F.col("R"), F.lit(0)).cast("long").alias("n_r"),
+        )
+    )
+
+
+_Q_PIVOT_SQL = """
+SELECT l_linestatus,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_a,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS n_n,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 def _q_cube(spark, sf_dir):
     """CUBE aggregate with explicit grouping markers: all four grouping
     sets over (returnflag, linestatus) in ONE pass (Catalyst's Expand
@@ -3310,6 +3458,213 @@ r{i} AS (
 _KG_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+def _kg_kcore(spark, sf_dir):
+    """Bulk-synchronous 5-core peel (`operators/graph.py:k_core`, 6
+    rounds) over the customer-key graph used by kg_triangles (chain
+    k→k+1, skip k→k+2, cross (7k+3) mod 1000, undirected simple):
+    each round drops nodes whose degree is < 5 plus their edges — the
+    denoising/community-seeding membership question.  Early-exit at
+    edge-set stability is observationally identical to the oracle's
+    fixed 6 unrolled rounds (peel only removes)."""
+    from omop2owl_vocab_spark.operators.graph import k_core
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    raw = (
+        cust.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") + 1).alias("dst"),
+        )
+        .unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") + 2).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
+            )
+        )
+    )
+    return k_core(raw, k=5, rounds=6)
+
+
+def _kcore_oracle_sql(k: int = 5, rounds: int = 6) -> str:
+    head = """
+WITH raw AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer
+  UNION ALL
+  SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}
+  ) GROUP BY node
+),
+a{i} AS (SELECT node FROM d{i} WHERE degree >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN a{i} x ON e.a = x.node JOIN a{i} y ON e.b = y.node
+)""")
+    tail = f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+) GROUP BY node"""
+    return head + "".join(its) + tail
+
+
+_KG_KCORE_SQL = _kcore_oracle_sql()
+
+
+def _kg_bfs(spark, sf_dir):
+    """Multi-source BFS distances (`operators/graph.py:bfs_distances`,
+    4 hops, undirected) over the customer-key graph from kg_kcore,
+    seeded at customers whose key is a multiple of 500 — the
+    blast-radius / seed-expansion readout.  Frontier loop with
+    per-round anti-join + distinct; the oracle proves the SEMANTICS
+    via the equivalent unrolled reachability-set formulation."""
+    from omop2owl_vocab_spark.operators.graph import bfs_distances
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    raw = (
+        cust.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") + 1).alias("dst"),
+        )
+        .unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") + 2).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
+            )
+        )
+    )
+    srcs = cust.filter(F.expr("c_custkey % 500 = 0")).select(
+        F.col("c_custkey").alias("node")
+    )
+    return bfs_distances(raw, srcs, max_hops=4)
+
+
+def _bfs_oracle_sql(max_hops: int = 4) -> str:
+    head = """
+WITH raw AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer
+  UNION ALL
+  SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+  ) WHERE src <> dst
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT c_custkey AS node FROM customer WHERE c_custkey % 500 = 0
+)"""
+    its = []
+    for i in range(1, max_hops + 1):
+        its.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT node FROM r{i - 1}
+    UNION ALL
+    SELECT e.dst FROM r{i - 1} f JOIN e ON f.node = e.src
+  )
+)""")
+    levels = "\nUNION ALL\n".join(
+        f"  SELECT node, {i} AS i FROM r{i}" for i in range(max_hops + 1)
+    )
+    tail = f"""
+SELECT node, CAST(MIN(i) AS BIGINT) AS dist FROM (
+{levels}
+) GROUP BY node"""
+    return head + "".join(its) + tail
+
+
+_KG_BFS_SQL = _bfs_oracle_sql()
+
+
+def _kg_lpa(spark, sf_dir):
+    """Synchronous label propagation (`operators/graph.py:
+    label_propagation`, 3 fixed rounds, min-label tiebreak) over the
+    customer-key graph — the community-detection baseline next to
+    kg_connected_components.  Integer argmax (max of (count, -label)
+    structs), so the unrolled DuckDB recurrence matches bit-for-bit
+    whatever the (possibly oscillating) synchronous dynamics."""
+    from omop2owl_vocab_spark.operators.graph import label_propagation
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    raw = (
+        cust.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") + 1).alias("dst"),
+        )
+        .unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
+            )
+        )
+    )
+    return label_propagation(raw, rounds=3)
+
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    head = """
+WITH raw AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+  ) WHERE src <> dst
+),
+l0 AS MATERIALIZED (
+  SELECT node, CAST(node AS BIGINT) AS label FROM (
+    SELECT DISTINCT src AS node FROM e
+    UNION SELECT DISTINCT dst FROM e
+  )
+)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM l{i - 1} l JOIN e ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER
+      (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    tail = f"\nSELECT node, label FROM l{rounds}"
+    return head + "".join(its) + tail
+
+
+_KG_LPA_SQL = _lpa_oracle_sql()
+
+
 # ---------------------------------------------------------------- exports
 
 
@@ -3326,6 +3681,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
         "q_transitions": _q_transitions,
+        "q_deciles": _q_deciles,
+        "q_pivot": _q_pivot,
+        "kg_kcore": _kg_kcore,
+        "kg_bfs": _kg_bfs,
+        "kg_lpa": _kg_lpa,
+        "kg_fuzzy_pairs": _kg_fuzzy_pairs,
+        "q_cohorts": _q_cohorts,
+        "q_gap_fill": _q_gap_fill,
         "kg_degree_profile": _kg_degree_profile,
         "q_mad_outliers": _q_mad_outliers,
         "kg_pagerank": _kg_pagerank,
@@ -3456,6 +3819,14 @@ def oracle_sql() -> dict[str, str]:
         "q_cube": _Q_CUBE_SQL,
         "q_session_paths": _Q_SESSION_PATHS_SQL,
         "q_transitions": _Q_TRANSITIONS_SQL,
+        "q_deciles": _Q_DECILES_SQL,
+        "q_pivot": _Q_PIVOT_SQL,
+        "kg_kcore": _KG_KCORE_SQL,
+        "kg_bfs": _KG_BFS_SQL,
+        "kg_lpa": _KG_LPA_SQL,
+        "kg_fuzzy_pairs": _KG_FUZZY_PAIRS_SQL,
+        "q_cohorts": _Q_COHORTS_SQL,
+        "q_gap_fill": _Q_GAP_FILL_SQL,
         "kg_degree_profile": _KG_DEGREE_PROFILE_SQL,
         "q_mad_outliers": _Q_MAD_OUTLIERS_SQL,
         "kg_ancestors": _KG_ANCESTORS_SQL,

@@ -223,3 +223,55 @@ def transition_matrix(
         "n",
         F.expr("__num div __tot").alias("prob_e4"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: ``(cohort_bucket, offset_buckets,
+    n_users)`` — users grouped by the bucket of their FIRST activity,
+    counted once per later bucket they return in.  ``offset_buckets=0``
+    is cohort size; the decay along each cohort row is the retention
+    curve — the standard growth-analytics readout next to
+    `funnel_steps`.
+
+    Buckets are pure integer arithmetic on epoch days
+    (``epoch_us div 86_400_000_000 div bucket_days``) — engine-exact,
+    no calendar/timezone exposure (documented as fixed-width windows
+    from the epoch, not ISO weeks).
+
+    Plan shape: distinct (user, bucket) — one hash-agg, map-side
+    combined, the only data-sized shuffle — then an unordered
+    per-user window-min for the cohort (second, user-keyed exchange)
+    and a final hash-agg on (cohort, offset) whose output is at most
+    |buckets|² rows.  State per user is one long; no collect, no sort.
+
+    100 TB posture: both shuffles are key-partitioned and
+    skew-tolerant (users are near-uniform); the triangle itself is
+    tiny.  Reference analog: none (event-analytics surface).
+    """
+    if bucket_days <= 0:
+        raise ValueError("bucket_days must be positive")
+    from pyspark.sql import Window
+
+    bucket = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+        f" div {int(bucket_days)}"
+    )
+    ub = (
+        events.select(F.col(user_col).alias("u"), bucket.alias("b"))
+        .distinct()
+    )
+    coh = ub.select(
+        "u", "b", F.min("b").over(Window.partitionBy("u")).alias("cohort")
+    )
+    return (
+        coh.groupBy(
+            F.col("cohort").alias("cohort_bucket"),
+            (F.col("b") - F.col("cohort")).alias("offset_buckets"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

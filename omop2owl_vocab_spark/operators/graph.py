@@ -220,3 +220,208 @@ def degree_distribution(
     return deg.groupBy("direction", "degree").agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bulk-synchronous k-core peel: ``(node, degree)`` for nodes
+    remaining after ``rounds`` peel iterations on the canonical
+    undirected SIMPLE graph (parallel edges collapse, self-loops drop
+    — core number is about distinct neighbors' support).  Each round
+    removes every node whose current degree is < k and the edges it
+    supports; at the fixpoint the survivors are exactly the k-core
+    (degeneracy-style sequential peel gives core NUMBERS; this bulk
+    variant answers the membership question a denoising /
+    community-seeding pass needs, one O(E) sweep per round).
+
+    Fixed-round contract like `pagerank_fixed`: the DuckDB oracle
+    unrolls the same ``rounds`` iterations; the Spark loop early-exits
+    when the edge set is stable, which is observationally identical
+    (peel only removes — an unchanged edge COUNT is an unchanged SET,
+    and a stable round is stable forever).
+
+    Plan shape per round: one hash-agg (degree, map-side combined) +
+    two ``left_semi`` joins reinstating the induced subgraph — all
+    node-keyed shuffles, no window/sort; ``localCheckpoint`` truncates
+    lineage each round exactly as `connected_components` does.
+    100 TB posture: state is the shrinking edge list itself; rounds is
+    a knob, and real corpora peel >90% of the fringe in the first two
+    sweeps.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("degree"))
+        )
+        alive = deg.filter(F.col("degree") >= k).select("node")
+        e2 = (
+            e.join(
+                alive.withColumnRenamed("node", "a"), "a", "left_semi"
+            )
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: ``(node, dist)`` = minimum hop count from ANY
+    source node, cut off at ``max_hops`` — the neighborhood-radius
+    primitive (blast-radius queries, seed-set expansion, curriculum
+    distance from a trusted core).  ``sources`` is a one-column
+    DataFrame named ``node``; distances are exact minima, sources
+    report 0, unreached nodes are absent.
+
+    Frontier form: per hop, join the CURRENT frontier to the edge
+    list, anti-join away already-visited nodes, dedup the new frontier
+    — each edge is expanded at most once per incident frontier visit,
+    total work O(E · diameter_cut) worst case, O(E) on expander-ish
+    graphs where the frontier saturates early (the loop exits when the
+    frontier empties).  One hash-join + one anti-join + one distinct
+    per hop, all node-keyed; ``localCheckpoint`` truncates lineage
+    per round as in `connected_components`.
+
+    The DuckDB oracle unrolls reachability sets r_0 ⊆ r_1 ⊆ … ⊆ r_H
+    (MATERIALIZED CTEs) and takes ``min(i)`` per node — a different
+    but provably equivalent formulation (frontier_i = r_i \\ r_{i-1}),
+    so the hash-exact match checks the SEMANTICS, not the plan.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(
+        eager=True
+    )
+    dist = sources.select(
+        F.col("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist.select("node").localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(
+            nxt.select("node", F.lit(h).cast("long").alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (fixed ``rounds``): ``(node,
+    label)`` where every node starts as its own label and each round
+    adopts the MOST FREQUENT label among its neighbors, ties broken
+    toward the SMALLEST label — the linear-time community-detection
+    baseline (near-duplicate cluster consolidation, topic islands,
+    vocabulary module discovery) next to `connected_components`
+    (which ignores density) and `k_core` (which ignores assignment).
+
+    Fixed-round contract like `pagerank_fixed`: synchronous LPA can
+    oscillate on bipartite-ish structures, so convergence is not
+    assumed — the DuckDB oracle unrolls the IDENTICAL recurrence
+    (count → argmax with the same tiebreak) and matches bit-for-bit
+    whatever the dynamics.  Labels are node ids (longs); the argmax
+    is ``max(struct(count, -label))`` — pure integer comparison, no
+    float, no hash-order exposure.
+
+    Plan shape per round: one edge-sized hash-join delivering each
+    neighbor's label + two hash-aggs (count per (node, label), argmax
+    per node) — all node-keyed shuffles, map-side combined;
+    ``localCheckpoint`` truncates lineage per round.  100 TB posture:
+    state is one long per node, work O(E) per round, skewed hubs hit
+    the same salting/AQE answer as every node-keyed agg here.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        delivered = (
+            labels.join(e, labels["node"] == e["src"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        cnt = delivered.groupBy("node", "label").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg_label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

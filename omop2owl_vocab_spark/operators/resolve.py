@@ -1,0 +1,147 @@
+"""Blocked fuzzy matching — the entity-resolution primitive for KG
+construction: find record pairs whose names are within a small edit
+distance, quadratic only inside explicit blocking keys.  This is the
+classic ER blocking scheme (Fellegi–Sunter style candidate generation):
+dedup/merge of concept labels, supplier/customer master-data linkage,
+cross-vocabulary synonym detection.
+
+Reference analog: none (the reference's linkage surface is exact
+`Maps to` relationships; fuzzy candidate generation is mandated
+LLM/KG-pipeline surface next to `operators/dedup.py`).
+
+Engine-exactness: names are canonicalized to lowercase ASCII
+(`lower` + strip of non ``[a-z0-9 ]``) BEFORE the distance — DuckDB's
+``levenshtein`` is byte-oriented on multibyte codepoints while Spark's
+is codepoint-oriented, so the operator's contract keeps the comparison
+in the single-byte range where both are the textbook
+Wagner–Fischer distance.  All other columns are ids/longs.
+
+100 TB posture: the only shuffle is the block-key equi-join; cost is
+Σ_b |b|² over block sizes, so the caller picks blocks the same way LSH
+picks bands (composite keys for hot blocks).  A length-band prefilter
+(|len(a)−len(b)| ≤ d, evaluated before the distance) and Spark's
+thresholded ``levenshtein(a, b, d)`` (early-abandon DP, returns -1
+above d) bound per-pair work at O(d·min_len) instead of O(len²).
+`block_stats` gives the Σ|b|² forecast before you run the join —
+the same drop-visibility contract as `lsh_bucket_stats`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CANON_RE = "[^a-z0-9 ]"
+
+
+def _canon_name(col):
+    return F.regexp_replace(F.lower(col), _CANON_RE, "")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Self-join candidate pairs: ``(id_l, id_r, block, dist)`` for
+    every within-block pair (``id_l < id_r`` — each unordered pair
+    once) whose canonicalized names are within ``max_dist`` edits.
+
+    Plan shape: canonicalize (narrow projection) → block-key hash
+    self-join with the ``id_l < id_r``, length-band, and thresholded-
+    distance conjuncts evaluated as join-time filters → no sort, no
+    window.  The distance runs JVM-side (codegen'd Levenshtein with
+    the early-abandon threshold) — zero Python.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    canon = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(block_col).alias("block"),
+        _canon_name(F.col(name_col)).alias("nm"),
+    )
+    a = canon.alias("a")
+    b = canon.alias("b")
+    d = F.levenshtein(F.col("a.nm"), F.col("b.nm"), max_dist)
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            F.abs(F.length("a.nm") - F.length("b.nm"))
+            <= F.lit(max_dist)
+        ),
+        "inner",
+    ).select(
+        F.col("a.id").alias("id_l"),
+        F.col("b.id").alias("id_r"),
+        F.col("a.block").alias("block"),
+        d.cast("long").alias("dist"),
+    )
+    return pairs.filter(F.col("dist") >= 0)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_cols: tuple[str, str],
+    name_cols: tuple[str, str],
+    block_cols: tuple[str, str],
+    max_dist: int = 1,
+) -> DataFrame:
+    """Two-table linkage variant: ``(id_l, id_r, block, dist)`` for
+    cross-table matches within shared blocks.  Same plan shape as
+    `fuzzy_pairs` minus the ``id_l < id_r`` dedup (pairs across tables
+    are already unordered-unique)."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    a = left.select(
+        F.col(id_cols[0]).cast("long").alias("id_l"),
+        F.col(block_cols[0]).alias("block"),
+        _canon_name(F.col(name_cols[0])).alias("nm_l"),
+    )
+    b = right.select(
+        F.col(id_cols[1]).cast("long").alias("id_r"),
+        F.col(block_cols[1]).alias("__b"),
+        _canon_name(F.col(name_cols[1])).alias("nm_r"),
+    )
+    d = F.levenshtein(F.col("nm_l"), F.col("nm_r"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("__b"))
+            & (
+                F.abs(F.length("nm_l") - F.length("nm_r"))
+                <= F.lit(max_dist)
+            ),
+            "inner",
+        )
+        .select("id_l", "id_r", "block", d.cast("long").alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+
+
+def block_stats(
+    df: DataFrame, block_col: str, top_k: int = 20
+) -> DataFrame:
+    """Pre-flight forecast for the blocked join: per-block row count
+    and the pair count ``n·(n−1)/2`` it implies, largest blocks first
+    (top-k via TakeOrderedAndProject — no global sort).  Read this the
+    way `lsh_bucket_stats` is read: a block whose ``n_pairs`` dwarfs
+    the rest is the one to split with a composite key."""
+    counts = df.groupBy(F.col(block_col).alias("block")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    return (
+        counts.select(
+            "block",
+            "n_rows",
+            (F.col("n_rows") * (F.col("n_rows") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .orderBy(F.col("n_pairs").desc(), F.col("block").asc())
+        .limit(top_k)
+    )

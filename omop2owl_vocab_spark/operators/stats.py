@@ -205,3 +205,43 @@ def mad_outliers(
             ).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+def equal_freq_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning per group: one row per
+    (group, bin) with ``n`` (occupancy), ``lo``/``hi`` (the bin's
+    actual min/max values) — decile tables, calibration buckets,
+    monotone-feature discretization.  Complements `group_histogram`
+    (equal WIDTH) and `group_quantiles` (point estimates).
+
+    Bucket assignment is SQL-standard ``NTILE``: the first
+    ``n mod n_bins`` buckets take ``ceil(n/n_bins)`` rows — pure
+    row-position arithmetic both engines implement identically.  Ties
+    that straddle a boundary are interchangeable VALUES, so per-bin
+    (n, lo, hi) is deterministic even though row identities tie.
+
+    Plan shape: one per-group sort feeding the ntile window (the only
+    exchange) + one hash-agg on (group, bin).  Same extreme-cardinality
+    escape note as `group_quantiles`.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    base = df.select(
+        *[F.col(c) for c in group_cols], F.col(value_col).alias("__v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+    t = base.select(
+        "*", F.ntile(n_bins).over(w).cast("long").alias("bin")
+    )
+    return t.groupBy(*group_cols, "bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    )

@@ -1,0 +1,63 @@
+"""Time-series densification — gap-filling sparse per-key event counts
+into a contiguous daily series, the preprocessing step every
+rate/trend/anomaly computation assumes (a missing day must read as an
+explicit zero, not an absent row, or moving averages and diffs lie).
+
+Reference analog: none (mandated analytics surface next to
+`operators/funnel.py`'s event readouts).
+
+Engine-exactness: days are epoch-day integers
+(``epoch_us div 86_400_000_000``); the spine is an integer
+``sequence(lo, hi)`` per key — no calendar arithmetic, no timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key contiguous daily counts: ``(key, day, n)`` for EVERY
+    epoch day between the key's first and last event, zeros where the
+    key was silent.
+
+    Plan shape: one hash-agg to (key, day) counts — the only
+    data-sized shuffle, map-side combined — then a per-key min/max
+    agg (tiny), a generated integer spine (``sequence`` + ``explode``
+    — rows are produced by the engine, never collected to the driver),
+    and one (key, day) equi-join gluing counts onto the spine with
+    ``coalesce(n, 0)``.
+
+    100 TB posture: spine size is Σ_k span(k) rows of two longs —
+    output-sized, not input-sized; the join keys are identical on both
+    sides so AQE plans it locally after the agg.  A key whose span is
+    pathological (one event in 1970, one today) inflates only its own
+    spine — bound it upstream with a time-range filter if that
+    matters.
+    """
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    counts = (
+        events.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    rng = counts.groupBy("key").agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = rng.select(
+        "key",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day"),
+    )
+    return (
+        spine.join(counts, ["key", "day"], "left")
+        .select(
+            "key", "day", F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n")
+        )
+    )

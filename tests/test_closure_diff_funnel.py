@@ -267,3 +267,46 @@ def test_transition_matrix_tie_and_single_event_users(spark):
     )
     got = [tuple(r) for r in transition_matrix(ev).collect()]
     assert got == [("x", "y", 1, 10000)]
+
+
+def test_cohort_retention_triangle(spark):
+    from omop2owl_vocab_spark.operators.funnel import cohort_retention
+
+    D = 86400
+    rows = [
+        # u1: joins bucket 0, returns bucket 1
+        ("u1", 0 * D), ("u1", 8 * D),
+        # u2: two events inside bucket 0 -> counted ONCE at offset 0
+        ("u2", 1 * D), ("u2", 2 * D),
+        # u3: joins bucket 1
+        ("u3", 9 * D),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, sec long").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    got = {
+        (r["cohort_bucket"], r["offset_buckets"]): r["n_users"]
+        for r in cohort_retention(ev, bucket_days=7).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cohort_retention(ev, bucket_days=0)
+
+
+def test_gap_fill_daily_zero_fills_span(spark):
+    from omop2owl_vocab_spark.operators.timeseries import gap_fill_daily
+
+    D = 86400
+    ev = spark.createDataFrame(
+        [("a", 0 * D), ("a", 0 * D), ("a", 3 * D), ("b", 5 * D)],
+        "k string, sec long",
+    ).select("k", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    got = [
+        (r["key"], r["day"], r["n"])
+        for r in gap_fill_daily(ev, "k").orderBy("key", "day").collect()
+    ]
+    # a: days 0..3 with zeros at 1,2 and a 2-count at 0; b: single day
+    assert got == [
+        ("a", 0, 2), ("a", 1, 0), ("a", 2, 0), ("a", 3, 1), ("b", 5, 1),
+    ]

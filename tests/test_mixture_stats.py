@@ -193,3 +193,39 @@ def test_mad_outliers_validation(spark):
         mad_outliers(df, [], "v")
     with _pt.raises(ValueError):
         mad_outliers(df, ["g"], "v", k_e2=0)
+
+
+def test_equal_freq_bins_ceil_first_buckets(spark):
+    from omop2owl_vocab_spark.operators.stats import equal_freq_bins
+
+    # 7 rows into 3 bins -> sizes 3,2,2 (first n%bins buckets get ceil)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [5, 1, 3, 7, 2, 6, 4]],
+        "g string, v double",
+    )
+    got = {
+        r["bin"]: (r["n"], r["lo"], r["hi"])
+        for r in equal_freq_bins(df, ["g"], "v", n_bins=3).collect()
+    }
+    assert got == {
+        1: (3, 1.0, 3.0), 2: (2, 4.0, 5.0), 3: (2, 6.0, 7.0),
+    }
+
+
+def test_equal_freq_bins_ties_and_validation(spark):
+    from omop2owl_vocab_spark.operators.stats import equal_freq_bins
+
+    # straddling ties: [1,1,1,1] into 2 bins -> both bins all-ones
+    df = spark.createDataFrame(
+        [("g", 1.0)] * 4, "g string, v double"
+    )
+    got = {
+        r["bin"]: (r["n"], r["lo"], r["hi"])
+        for r in equal_freq_bins(df, ["g"], "v", n_bins=2).collect()
+    }
+    assert got == {1: (2, 1.0, 1.0), 2: (2, 1.0, 1.0)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        equal_freq_bins(df, [], "v")
+    with _pt.raises(ValueError):
+        equal_freq_bins(df, ["g"], "v", n_bins=0)

@@ -129,3 +129,112 @@ def test_degree_distribution_single_scan_plan(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     plan = degree_distribution(e)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_k_core_peels_tail_and_keeps_clique(spark):
+    from omop2owl_vocab_spark.operators.graph import k_core
+
+    # K4 clique on 1..4 plus a pendant path 4-5-6: 2-core = the clique
+    # plus... 5,6 peel (deg 1 after each round); parallel edge + self
+    # loop must not inflate degrees.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 5), (3, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["degree"] for r in k_core(e, k=2, rounds=8).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=4: nothing survives (max degree in the simple graph is 4 at
+    # node 4 pre-peel, but the clique is only 3-regular after 5 drops)
+    assert k_core(e, k=4, rounds=8).count() == 0
+
+
+def test_k_core_not_converged_rounds_semantics(spark):
+    from omop2owl_vocab_spark.operators.graph import k_core
+
+    # path 1-2-3-4-5: 2-core empty, but each round only strips the
+    # endpoints -> after ONE round the inner path 2-3-4 remains
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got1 = {r["node"]: r["degree"] for r in k_core(e, 2, rounds=1).collect()}
+    assert got1 == {2: 1, 3: 2, 4: 1}
+    assert k_core(e, 2, rounds=8).count() == 0
+
+
+def test_bfs_distances_min_hops_multi_source(spark):
+    from omop2owl_vocab_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4-5-6 plus chord 2-5; sources {1, 6}
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 5)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(1,), (6,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, srcs, max_hops=4).collect()
+    }
+    # 5 is 1 from 6; 3 is 2 from 1; 4 is min(3 via 1-2-5-4? no: 1-2-5=2,
+    # then 4 at 3; via 6: 6-5-4 = 2) -> 2
+    assert got == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+def test_bfs_distances_cutoff_and_directed(spark):
+    from omop2owl_vocab_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, srcs, max_hops=2, directed=True).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 is beyond the cutoff
+    # directed: nothing reaches 1 backwards
+    srcs4 = spark.createDataFrame([(4,)], "node long")
+    got4 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, srcs4, max_hops=3, directed=True).collect()
+    }
+    assert got4 == {4: 0}
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from omop2owl_vocab_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by bridge 3-10.
+    # Hand-computed SYNCHRONOUS rounds (min-label tiebreak):
+    # r1: 1 sees {2,3} tie->2; 2 sees {1,3}->1; 3 sees {1,2,10}->1;
+    #     10 sees {11,12,3} tie->3; 11,12 see {10,..}->10
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    r1 = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, rounds=1).collect()
+    }
+    assert r1 == {1: 2, 2: 1, 3: 1, 10: 3, 11: 10, 12: 10}
+    # by r3 the min label has invaded across the bridge — correct
+    # synchronous-LPA dynamics (the fixed-round contract, not a
+    # converged community split)
+    r3 = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, rounds=3).collect()
+    }
+    assert r3 == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_label_propagation_tiebreak_min_label(spark):
+    from omop2owl_vocab_spark.operators.graph import label_propagation
+
+    # star center 5 with leaves 2,7: round 1 -> center sees {2,7}
+    # equally often, tie -> 2; leaves see only 5 -> 5
+    e = spark.createDataFrame([(5, 2), (5, 7)], "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, rounds=1).collect()
+    }
+    assert got == {5: 2, 2: 5, 7: 5}
