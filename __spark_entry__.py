@@ -11,7 +11,7 @@ Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
 the identical signatures/buckets, the subword tokenizer is replayed by a
 recursive CTE over distinct words, and the multimodal feature extractor
-exports an exact-integer long form — 84/84 hash-checkable (r5;
+exports an exact-integer long form — 91/91 hash-checkable (r5;
 CORRECTNESS_FULL_r05.json carries the full record since the driver
 harness truncates at the first 50 dict entries — newest queries lead).
 """
@@ -387,6 +387,190 @@ def _q_union_distinct(spark, sf_dir):
 
 _Q_UNION_DISTINCT_SQL = """
 SELECT l_partkey AS id FROM lineitem UNION SELECT l_suppkey FROM lineitem
+"""
+
+
+def _pipe_pps(spark, sf_dir):
+    """Poisson PPS weighted sampling (`operators/sample.py:pps_sample`,
+    k=200 expected, weight = n_chars): acceptance is the ALL-INTEGER
+    test draw·W < k·w·2^60 evaluated in decimal(38,0)/HUGEINT — no
+    float probability exists to round differently.  One scalar
+    aggregate broadcast back via cross-join, then a narrow filter —
+    zero data shuffles."""
+    from omop2owl_vocab_spark.operators.sample import pps_sample
+
+    return pps_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", k=200, seed=7
+    )
+
+
+_PIPE_PPS_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         list_reduce(
+           list_transform(
+             string_split(substr(md5('pps7:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15), ''),
+             c -> CAST(strpos('123456789abcdef', c) AS BIGINT)),
+           (a, b) -> a * 16 + b) AS pps_key
+  FROM documents
+),
+t AS (SELECT CAST(SUM(weight) AS HUGEINT) AS w_tot FROM d)
+SELECT doc_id, weight, pps_key
+FROM d, t
+WHERE CAST(pps_key AS HUGEINT) * w_tot
+      < CAST(weight AS HUGEINT)
+        * (CAST(200 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+"""
+
+
+def _dd_containment(spark, sf_dir):
+    """Asymmetric containment dedup (`operators/dedup.py:
+    containment_pairs`, Broder's measure): co-shingle pairs where
+    either side is ≥80% contained in the other — the subset-duplicate
+    detector Jaccard misses (quoted paragraphs inside much larger
+    docs).  Integer cross-multiplied threshold, `div` fixed-point
+    outputs, same inverted-index join discipline as dd_jaccard."""
+    from omop2owl_vocab_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    docs = _docs64(spark, sf_dir)
+    return containment_pairs(word_shingles(docs, 3), threshold_pct=80)
+
+
+_DD_CONTAINMENT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+             AS shingle
+    FROM t WHERE len(toks) >= 3
+  ) WHERE shingle <> ''
+),
+sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM s GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, inter, za.sz AS sz_a, zb.sz AS sz_b,
+       CAST((inter * 10000) // za.sz AS BIGINT) AS cont_a_e4,
+       CAST((inter * 10000) // zb.sz AS BIGINT) AS cont_b_e4
+FROM inter
+JOIN sz za ON za.id = id_a
+JOIN sz zb ON zb.id = id_b
+WHERE inter * 100 >= 80 * za.sz OR inter * 100 >= 80 * zb.sz
+"""
+
+
+def _q_lis(spark, sf_dir):
+    """Per-user longest strictly-increasing value subsequence
+    (`operators/seq.py:lis_per_group`): the canonical can't-window DP,
+    run as a patience-sorting `applyInPandas` grouped map (ONE
+    group-keyed exchange, ordering vectorized inside the group) —
+    completing the batch Arrow-UDF surface (pandas_udf: simhash,
+    mapInPandas: multimodal, applyInPandasWithState: sessionize).
+    Oracle: a recursive chain-extension CTE re-derives the same maxima
+    — the hash-exact check covers the Python path end to end."""
+    from omop2owl_vocab_spark.operators.seq import lis_per_group
+
+    return lis_per_group(_t(spark, sf_dir, "events"))
+
+
+_Q_LIS_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id AS u, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS i
+  FROM events WHERE value IS NOT NULL
+),
+chains AS (
+  SELECT u, i, v, 1 AS l FROM ev
+  UNION
+  SELECT c.u, e2.i, e2.v, c.l + 1
+  FROM chains c JOIN ev e2
+    ON e2.u = c.u AND e2.i > c.i AND e2.v > c.v
+)
+SELECT c.u AS user_id, CAST(n.n AS BIGINT) AS n_events,
+       CAST(MAX(c.l) AS BIGINT) AS lis_len
+FROM chains c JOIN (SELECT u, COUNT(*) AS n FROM ev GROUP BY u) n
+  ON c.u = n.u
+GROUP BY c.u, n.n
+"""
+
+
+def _txt_chunks(spark, sf_dir):
+    """RAG chunking (`operators/text.py:chunk_documents`): 512-char
+    windows stepping 448 (64-char overlap) over the documents table —
+    offsets engine-generated (sequence+explode), slices via substring,
+    no shuffle/UDF (plan-pinned no-Exchange in test_tokenize).  The
+    chunk text itself ships as an md5 so the oracle comparison stays
+    compact at any chunk width."""
+    from omop2owl_vocab_spark.operators.text import chunk_documents
+
+    c = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_len=512, overlap=64
+    )
+    return c.select(
+        "doc_id", "chunk_idx", "char_start",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.length("chunk").cast("long").alias("chunk_chars"),
+    )
+
+
+_TXT_CHUNKS_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+n AS (
+  SELECT doc_id, text,
+         (GREATEST(length(text) - 64, 1) + 448 - 1) // 448 AS n_chunks
+  FROM base
+),
+c AS (
+  SELECT doc_id, text, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 448 AS BIGINT) AS char_start,
+       md5(substr(text, CAST(chunk_idx * 448 + 1 AS BIGINT), 512))
+         AS chunk_md5,
+       CAST(length(substr(text, CAST(chunk_idx * 448 + 1 AS BIGINT), 512))
+            AS BIGINT) AS chunk_chars
+FROM c
+"""
+
+
+def _q_intersect(spark, sf_dir):
+    """INTERSECT set op (completes the union/except family): customer
+    keys holding BOTH an urgent and a low-priority order.  Catalyst
+    plans set-intersect as a left-semi hash join over pre-distincted
+    sides — no full materialization of either distinct set beyond the
+    join build."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
+_Q_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
 """
 
 
@@ -3294,6 +3478,86 @@ FROM spine s LEFT JOIN counts c ON s.key = c.key AND s.day = c.day
 """
 
 
+def _q_rolling(spark, sf_dir):
+    """7-day trailing moving aggregates (`operators/timeseries.py:
+    rolling_daily`) composed over the gap-filled per-event-type daily
+    series — one RANGE window frame shared by both aggregates,
+    integer sums, fixed-point mean by integer division.  On a
+    non-filled series the frame would silently average over holes;
+    the composition is the point."""
+    from omop2owl_vocab_spark.operators.timeseries import (
+        gap_fill_daily,
+        rolling_daily,
+    )
+
+    return rolling_daily(
+        gap_fill_daily(_t(spark, sf_dir, "events"), "event_type"),
+        window_days=7,
+    )
+
+
+_Q_ROLLING_SQL = """
+WITH counts AS (
+  SELECT event_type AS key,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rng AS (
+  SELECT key, MIN(day) AS lo, MAX(day) AS hi FROM counts GROUP BY key
+),
+spine AS (
+  SELECT key, UNNEST(generate_series(lo, hi)) AS day FROM rng
+),
+filled AS (
+  SELECT s.key, s.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN counts c ON s.key = c.key AND s.day = c.day
+),
+roll AS (
+  SELECT key, day, n,
+         CAST(SUM(n) OVER w AS BIGINT) AS sum_w,
+         CAST(COUNT(*) OVER w AS BIGINT) AS days_w
+  FROM filled
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT key, day, n, sum_w, days_w,
+       CAST((sum_w * 10000) // days_w AS BIGINT) AS avg_e4
+FROM roll
+"""
+
+
+def _q_json_extract(spark, sf_dir):
+    """Typed JSON extraction (`from_json` with an EXPLICIT schema —
+    ONE parse per row feeding all downstream references, vs
+    get_json_object's parse-per-call) over the events ``props``
+    column: per event type, count + sum/min/max of the extracted
+    integer field.  The parse stays in the scan-side projection; the
+    aggregate is a plain map-side-combined hash-agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "struct<k:bigint>")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+_Q_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def _q_deciles(spark, sf_dir):
     """Equal-frequency binning (`operators/stats.py:equal_freq_bins`):
     o_totalprice deciles per order priority — SQL-standard NTILE row
@@ -3681,6 +3945,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
         "q_transitions": _q_transitions,
+        "pipe_pps": _pipe_pps,
+        "dd_containment": _dd_containment,
+        "q_lis": _q_lis,
+        "txt_chunks": _txt_chunks,
+        "q_intersect": _q_intersect,
+        "q_rolling": _q_rolling,
+        "q_json_extract": _q_json_extract,
         "q_deciles": _q_deciles,
         "q_pivot": _q_pivot,
         "kg_kcore": _kg_kcore,
@@ -3819,6 +4090,13 @@ def oracle_sql() -> dict[str, str]:
         "q_cube": _Q_CUBE_SQL,
         "q_session_paths": _Q_SESSION_PATHS_SQL,
         "q_transitions": _Q_TRANSITIONS_SQL,
+        "pipe_pps": _PIPE_PPS_SQL,
+        "dd_containment": _DD_CONTAINMENT_SQL,
+        "q_lis": _Q_LIS_SQL,
+        "txt_chunks": _TXT_CHUNKS_SQL,
+        "q_intersect": _Q_INTERSECT_SQL,
+        "q_rolling": _Q_ROLLING_SQL,
+        "q_json_extract": _Q_JSON_EXTRACT_SQL,
         "q_deciles": _Q_DECILES_SQL,
         "q_pivot": _Q_PIVOT_SQL,
         "kg_kcore": _KG_KCORE_SQL,

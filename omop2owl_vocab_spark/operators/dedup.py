@@ -616,3 +616,67 @@ def ngram_overlap(
             "n_hits",
         )
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    threshold_pct: int = 80,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over co-shingle pairs:
+    ``(id_a, id_b, inter, sz_a, sz_b, cont_a_e4, cont_b_e4)`` where
+    ``cont_a_e4 = |A∩B|·10^4 div |A|`` — the subset-duplicate detector
+    Jaccard misses (a paragraph quoted inside a 100× larger document
+    has tiny Jaccard but containment ≈ 1; Broder's containment
+    measure).  Kept pairs have max(cont_a, cont_b) ≥ ``threshold_pct``.
+
+    Same inverted-index join discipline as `jaccard_pairs` (only pairs
+    sharing ≥1 shingle materialize; optional LSH ``candidates``
+    semi-prune BEFORE the self-join), same integer cross-multiplied
+    filter (``inter·100 ≥ pct·sz`` — no float threshold), integer
+    fixed-point outputs — hash-exact against the SQL re-derivation.
+    """
+    if not (1 <= int(threshold_pct) <= 100):
+        raise ValueError("threshold_pct must be in 1..100")
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("sz"))
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        shingled = shingled.join(cand_ids, "id", "left_semi")
+    a = shingled.alias("ca")
+    b = shingled.alias("cb")
+    pair_stream = (
+        a.join(b, F.col("ca.shingle") == F.col("cb.shingle"))
+        .filter(F.col("ca.id") < F.col("cb.id"))
+        .select(F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b"))
+    )
+    if candidates is not None:
+        pair_stream = pair_stream.join(
+            candidates, ["id_a", "id_b"], "left_semi"
+        )
+    inter = pair_stream.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("long").alias("inter")
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    t = int(threshold_pct)
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(
+            (F.col("inter") * 100 >= F.lit(t) * F.col("sz_a"))
+            | (F.col("inter") * 100 >= F.lit(t) * F.col("sz_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.expr("(inter * 10000) div sz_a").alias("cont_a_e4"),
+            F.expr("(inter * 10000) div sz_b").alias("cont_b_e4"),
+        )
+    )

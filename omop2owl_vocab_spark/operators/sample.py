@@ -128,3 +128,76 @@ def mixture_sample(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Poisson probability-proportional-to-size sampling: include each
+    row independently with probability ``min(1, k·w/W)`` (W = total
+    weight), so the EXPECTED sample size is ≈ k and heavy rows are
+    overrepresented in proportion to their weight — the
+    importance-sampling primitive (token-weighted eval pulls,
+    size-weighted audits) next to `stratified_sample`'s equal-k form.
+
+    Deterministic and engine-exact: the acceptance test is
+    ``draw · W < k · w · 2^60`` with ``draw`` the usual 60-bit
+    md5-prefix integer — ALL INTEGER math, evaluated in decimal(38,0)
+    (Spark) / HUGEINT (DuckDB), both exact 128-bit-class arithmetic, so
+    no float probability ever exists to round differently.  Weights
+    must be non-negative integers (longs).
+
+    Plan shape: one total-weight aggregate (a single scalar) broadcast
+    back via cross-join — no collect, stays lazy — then a narrow
+    filter projection.  Zero shuffles of the data itself; at 100 TB
+    the cost is one scan + one 1-row exchange.  Changing ``seed``
+    re-deals; rows with ``k·w ≥ W`` are always kept (the min(1,·)
+    branch).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql.functions import broadcast
+
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"pps{seed}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tot = df.select(
+        F.sum(F.col(weight_col).cast("long")).alias("__W")
+    )
+    lhs = F.col("__draw").cast("decimal(38,0)") * F.col("__W").cast(
+        "decimal(38,0)"
+    )
+    # k·2^60 exceeds int64 for k ≥ 8 — ship it as a string literal cast
+    # to decimal (py4j can't carry a >63-bit python int as a long)
+    rhs = (
+        F.col(weight_col + "_w").cast("decimal(38,0)")
+        * F.lit(str(int(k) << 60)).cast("decimal(38,0)")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias(weight_col + "_w"),
+            draw.alias("__draw"),
+        )
+        .crossJoin(broadcast(tot))
+        .filter(lhs < rhs)
+        .select(
+            id_col,
+            F.col(weight_col + "_w").alias("weight"),
+            F.col("__draw").alias("pps_key"),
+        )
+    )

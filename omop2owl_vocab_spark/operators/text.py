@@ -732,3 +732,61 @@ def skipgram_cooccurrence(
         .orderBy(F.col("c_xy").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_m)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_len: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping character chunking — the RAG/indexing splitter:
+    ``(id, chunk_idx, char_start, chunk)`` windows of ``chunk_len``
+    characters stepping by ``chunk_len − overlap``, so consecutive
+    chunks share ``overlap`` characters and no span falls between
+    retrieval units.  Empty/NULL documents produce no rows.
+
+    Chunk COUNT is exact integer arithmetic with a positivity clamp
+    BEFORE the division (``(greatest(len − overlap, 1) + step − 1)
+    div step``) — Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors, so a negative numerator (doc shorter than
+    the overlap) would silently diverge; clamping first keeps both
+    engines on the same closed form.  Character (not byte) offsets in
+    both engines.
+
+    Plan shape: one narrow projection — ``sequence`` + ``explode``
+    generates offsets engine-side, ``substring`` slices — no shuffle,
+    no UDF; output is ~len/step × input rows, the same narrow fan-out
+    posture as `pack_slices`.  Token-budget chunking composes via
+    `tokenize.subword_token_counts` on the chunks afterwards.
+    """
+    if chunk_len < 1:
+        raise ValueError("chunk_len must be >= 1")
+    if not (0 <= overlap < chunk_len):
+        raise ValueError("overlap must be in [0, chunk_len)")
+    step = chunk_len - overlap
+    n_chunks = F.expr(
+        f"(greatest(length({text_col}) - {overlap}, 1) + {step} - 1)"
+        f" div {step}"
+    )
+    return (
+        df.filter(
+            F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+        )
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * step).alias("char_start"),
+            F.expr(
+                f"substring(__t, chunk_idx * {step} + 1, {chunk_len})"
+            ).alias("chunk"),
+        )
+    )

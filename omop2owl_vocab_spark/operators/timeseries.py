@@ -61,3 +61,42 @@ def gap_fill_daily(
             "key", "day", F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n")
         )
     )
+
+
+def rolling_daily(
+    filled: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window aggregates over a gap-filled daily series
+    (`gap_fill_daily` output shape ``(key, day, n)``): per row, the
+    ``window_days``-day trailing ``sum_w``, the actual day count
+    ``days_w`` (< window_days only during each key's ramp-in), and the
+    integer fixed-point mean ``avg_e4 = sum_w·10^4 div days_w`` — the
+    moving-average / trend readout the densification exists for (on a
+    NON-filled series a RANGE frame would silently average over holes).
+
+    Plan shape: one per-key sort feeding a single RANGE window frame
+    (both aggregates share it); sums are integer so there is no float
+    reduction-order exposure.  100 TB posture: windows are per-key and
+    the series is output-sized (days × keys); a pathological multi-year
+    key costs only its own partition's sort.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("day").cast("long"))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return filled.select(
+        "key",
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("sum_w"),
+        F.count("*").over(w).cast("long").alias("days_w"),
+    ).select(
+        "key", "day", "n", "sum_w", "days_w",
+        F.expr("(sum_w * 10000) div days_w").alias("avg_e4"),
+    )

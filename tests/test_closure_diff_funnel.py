@@ -310,3 +310,28 @@ def test_gap_fill_daily_zero_fills_span(spark):
     assert got == [
         ("a", 0, 2), ("a", 1, 0), ("a", 2, 0), ("a", 3, 1), ("b", 5, 1),
     ]
+
+
+def test_rolling_daily_trailing_window(spark):
+    from omop2owl_vocab_spark.operators.timeseries import (
+        gap_fill_daily, rolling_daily,
+    )
+
+    D = 86400
+    ev = spark.createDataFrame(
+        [("a", 0 * D), ("a", 0 * D), ("a", 3 * D)],
+        "k string, sec long",
+    ).select("k", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    got = [
+        (r["day"], r["sum_w"], r["days_w"], r["avg_e4"])
+        for r in rolling_daily(gap_fill_daily(ev, "k"), window_days=3)
+        .orderBy("day").collect()
+    ]
+    # days 0..3 with n = 2,0,0,1; 3-day trailing sums: 2,2,2,1
+    assert got == [
+        (0, 2, 1, 20000), (1, 2, 2, 10000),
+        (2, 2, 3, 6666), (3, 1, 3, 3333),
+    ]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rolling_daily(gap_fill_daily(ev, "k"), window_days=0)

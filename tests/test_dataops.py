@@ -984,3 +984,29 @@ def test_ngram_overlap_custom_bench_id_col(spark):
     assert out.count() == 1
     with pytest.raises(ValueError, match="must differ"):
         ngram_overlap(corpus, bench, n=8, bench_id_col="doc_id")
+
+
+def test_containment_pairs_subset_detection(spark):
+    from omop2owl_vocab_spark.operators.dedup import containment_pairs
+
+    # A = {s1..s10} fully contains B = {s1..s3}; C shares nothing
+    rows = (
+        [(1, f"s{i}") for i in range(1, 11)]
+        + [(2, f"s{i}") for i in range(1, 4)]
+        + [(3, "zz")]
+    )
+    sh = spark.createDataFrame(rows, "id long, shingle string")
+    got = [
+        tuple(r)
+        for r in containment_pairs(sh, threshold_pct=80).collect()
+    ]
+    # inter=3, sz_a=10, sz_b=3: cont_a=3000 (<8000) but cont_b=10000
+    assert got == [(1, 2, 3, 10, 3, 3000, 10000)]
+    # raise the bar so the pair drops on BOTH sides at 100+... 10000>=100*? 
+    # threshold 100: cont_b = 100% keeps it; partial overlap drops:
+    rows2 = [(1, "x"), (1, "y"), (2, "y"), (2, "z")]
+    sh2 = spark.createDataFrame(rows2, "id long, shingle string")
+    assert containment_pairs(sh2, threshold_pct=80).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        containment_pairs(sh, threshold_pct=0)

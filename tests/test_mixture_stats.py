@@ -229,3 +229,38 @@ def test_equal_freq_bins_ties_and_validation(spark):
         equal_freq_bins(df, [], "v")
     with _pt.raises(ValueError):
         equal_freq_bins(df, ["g"], "v", n_bins=0)
+
+
+def test_pps_sample_certain_rows_and_determinism(spark):
+    from omop2owl_vocab_spark.operators.sample import pps_sample
+
+    # one row carries >= W/k of the weight -> always kept
+    df = spark.createDataFrame(
+        [(1, 1_000_000)] + [(i, 1) for i in range(2, 102)],
+        "doc_id long, w long",
+    )
+    s1 = {r["doc_id"] for r in pps_sample(df, "w", k=5, seed=3).collect()}
+    s2 = {r["doc_id"] for r in pps_sample(df, "w", k=5, seed=3).collect()}
+    assert 1 in s1 and s1 == s2
+    # tiny-weight rows: inclusion prob ~ 5/1e6 each -> none expected
+    assert len(s1 - {1}) <= 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pps_sample(df, "w", k=0)
+
+
+def test_pps_sample_python_reference(spark):
+    import hashlib
+    from omop2owl_vocab_spark.operators.sample import pps_sample
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(1, 201)]
+    W = sum(w for _, w in rows)
+    k, seed = 20, 9
+    expect = set()
+    for i, w in rows:
+        draw = int(hashlib.md5(f"pps{seed}:{i}".encode()).hexdigest()[:15], 16)
+        if draw * W < w * (k << 60):
+            expect.add(i)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in pps_sample(df, "w", k=k, seed=seed).collect()}
+    assert got == expect and len(got) > 0

@@ -176,3 +176,48 @@ def test_pack_slices_invariants_on_bpe_counts(spark):
         tail[s["shard"]] = max(tail.get(s["shard"], -1), s["pack_id"])
     for (shard, pid), tot in sums.items():
         assert tot == 64 or pid == tail[shard], (shard, pid, tot)
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from omop2owl_vocab_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["char_start"], r["chunk"])
+        for r in chunk_documents(df, chunk_len=4, overlap=1)
+        .orderBy("doc_id", "chunk_idx").collect()
+    ]
+    # step=3: doc1 (len 10) -> ceil(9/3)=3 chunks, 1-char overlap;
+    # doc2 shorter than chunk -> one whole-doc chunk; empty/null -> none
+    assert got == [
+        (1, 0, 0, "abcd"), (1, 1, 3, "defg"), (1, 2, 6, "ghij"),
+        (2, 0, 0, "xy"),
+    ]
+
+
+def test_chunk_documents_shorter_than_overlap_and_validation(spark):
+    import pytest as _pt
+    from omop2owl_vocab_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    # len(2) < overlap(3): the pre-division clamp must still yield ONE chunk
+    got = chunk_documents(df, chunk_len=5, overlap=3).collect()
+    assert [(r["chunk_idx"], r["chunk"]) for r in got] == [(0, "ab")]
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_len=0)
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_len=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle_plan(spark):
+    from omop2owl_vocab_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, chunk_len=3, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
