@@ -46,6 +46,35 @@ def _docs64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").repartition(64)
 
 
+def _custkey_edges(
+    spark: SparkSession, sf_dir: str, skip: bool = True
+) -> DataFrame:
+    """The deterministic customer-key graph shared by the graph-family
+    queries (kg_triangles / kg_kcore / kg_bfs / kg_lpa): chain k→k+1,
+    optional skip k→k+2 (consecutive-triple triangles), and the
+    (7k+3) mod 1000 cross edge (cycles + hub funnels toward low keys).
+    Any change here must be mirrored in each query's SQL oracle — they
+    restate the same closed form."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    e = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") + 1).alias("dst"),
+    )
+    if skip:
+        e = e.unionByName(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") + 2).alias("dst"),
+            )
+        )
+    return e.unionByName(
+        cust.select(
+            F.col("c_custkey").alias("src"),
+            F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- flagship
 
 def _kg_concepts_edges(spark: SparkSession, sf_dir: str):
@@ -3187,26 +3216,7 @@ def _kg_triangles(spark, sf_dir):
     irregular closures).  Oracle: canonical a<b<c three-way self-join."""
     from omop2owl_vocab_spark.operators.graph import triangle_count
 
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    raw = (
-        cust.select(
-            F.col("c_custkey").alias("src"),
-            (F.col("c_custkey") + 1).alias("dst"),
-        )
-        .unionByName(
-            cust.select(
-                F.col("c_custkey").alias("src"),
-                (F.col("c_custkey") + 2).alias("dst"),
-            )
-        )
-        .unionByName(
-            cust.select(
-                F.col("c_custkey").alias("src"),
-                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
-            )
-        )
-    )
-    return triangle_count(raw)
+    return triangle_count(_custkey_edges(spark, sf_dir))
 
 
 _KG_TRIANGLES_SQL = """
@@ -3292,7 +3302,7 @@ WITH seq AS (
          lag(event_type) OVER
            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            AS from_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 c AS (
   SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
@@ -3356,7 +3366,7 @@ def _q_mad_outliers(spark, sf_dir):
 _Q_MAD_OUTLIERS_SQL = """
 WITH base AS (
   SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 r1 AS (
   SELECT *, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
@@ -3579,7 +3589,7 @@ WITH t AS (
   SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
          CAST(ntile(10) OVER (PARTITION BY o_orderpriority ORDER BY
                               o_totalprice) AS BIGINT) AS bin
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT o_orderpriority, bin, CAST(COUNT(*) AS BIGINT) AS n,
        MIN(v) AS lo, MAX(v) AS hi
@@ -3732,26 +3742,7 @@ def _kg_kcore(spark, sf_dir):
     fixed 6 unrolled rounds (peel only removes)."""
     from omop2owl_vocab_spark.operators.graph import k_core
 
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    raw = (
-        cust.select(
-            F.col("c_custkey").alias("src"),
-            (F.col("c_custkey") + 1).alias("dst"),
-        )
-        .unionByName(
-            cust.select(
-                F.col("c_custkey").alias("src"),
-                (F.col("c_custkey") + 2).alias("dst"),
-            )
-        )
-        .unionByName(
-            cust.select(
-                F.col("c_custkey").alias("src"),
-                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
-            )
-        )
-    )
-    return k_core(raw, k=5, rounds=6)
+    return k_core(_custkey_edges(spark, sf_dir), k=5, rounds=6)
 
 
 def _kcore_oracle_sql(k: int = 5, rounds: int = 6) -> str:
@@ -3799,29 +3790,12 @@ def _kg_bfs(spark, sf_dir):
     via the equivalent unrolled reachability-set formulation."""
     from omop2owl_vocab_spark.operators.graph import bfs_distances
 
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    raw = (
-        cust.select(
-            F.col("c_custkey").alias("src"),
-            (F.col("c_custkey") + 1).alias("dst"),
-        )
-        .unionByName(
-            cust.select(
-                F.col("c_custkey").alias("src"),
-                (F.col("c_custkey") + 2).alias("dst"),
-            )
-        )
-        .unionByName(
-            cust.select(
-                F.col("c_custkey").alias("src"),
-                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
-            )
-        )
+    srcs = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.expr("c_custkey % 500 = 0"))
+        .select(F.col("c_custkey").alias("node"))
     )
-    srcs = cust.filter(F.expr("c_custkey % 500 = 0")).select(
-        F.col("c_custkey").alias("node")
-    )
-    return bfs_distances(raw, srcs, max_hops=4)
+    return bfs_distances(_custkey_edges(spark, sf_dir), srcs, max_hops=4)
 
 
 def _bfs_oracle_sql(max_hops: int = 4) -> str:
@@ -3873,20 +3847,9 @@ def _kg_lpa(spark, sf_dir):
     whatever the (possibly oscillating) synchronous dynamics."""
     from omop2owl_vocab_spark.operators.graph import label_propagation
 
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    raw = (
-        cust.select(
-            F.col("c_custkey").alias("src"),
-            (F.col("c_custkey") + 1).alias("dst"),
-        )
-        .unionByName(
-            cust.select(
-                F.col("c_custkey").alias("src"),
-                F.expr("(c_custkey * 7 + 3) % 1000").alias("dst"),
-            )
-        )
+    return label_propagation(
+        _custkey_edges(spark, sf_dir, skip=False), rounds=3
     )
-    return label_propagation(raw, rounds=3)
 
 
 def _lpa_oracle_sql(rounds: int = 3) -> str:

@@ -198,7 +198,10 @@ def transition_matrix(
         F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(id_col)
     )
     pairs = (
-        events.select(
+        # NULL timestamps are excluded: Spark windows sort NULLS FIRST
+        # while most SQL engines default NULLS LAST, so a NULL-ts event
+        # would make the lag order (hence the matrix) engine-dependent
+        events.filter(F.col(ts_col).isNotNull()).select(
             F.col(user_col),
             F.col(type_col).alias("to_type"),
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),

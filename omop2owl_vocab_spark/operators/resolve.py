@@ -14,7 +14,7 @@ Engine-exactness: names are canonicalized to lowercase ASCII
 ``levenshtein`` is byte-oriented on multibyte codepoints while Spark's
 is codepoint-oriented, so the operator's contract keeps the comparison
 in the single-byte range where both are the textbook
-Wagner–Fischer distance.  All other columns are ids/longs.
+Wagner–Fischer distance.  Ids and blocks pass through untyped.
 
 100 TB posture: the only shuffle is the block-key equi-join; cost is
 Σ_b |b|² over block sizes, so the caller picks blocks the same way LSH
@@ -48,6 +48,8 @@ def fuzzy_pairs(
     """Self-join candidate pairs: ``(id_l, id_r, block, dist)`` for
     every within-block pair (``id_l < id_r`` — each unordered pair
     once) whose canonicalized names are within ``max_dist`` edits.
+    Ids keep their input type (any orderable type works for the
+    ``<`` dedup — no lossy cast that would NULL non-numeric ids).
 
     Plan shape: canonicalize (narrow projection) → block-key hash
     self-join with the ``id_l < id_r``, length-band, and thresholded-
@@ -58,7 +60,7 @@ def fuzzy_pairs(
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     canon = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         _canon_name(F.col(name_col)).alias("nm"),
     )
@@ -98,12 +100,12 @@ def fuzzy_join(
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     a = left.select(
-        F.col(id_cols[0]).cast("long").alias("id_l"),
+        F.col(id_cols[0]).alias("id_l"),
         F.col(block_cols[0]).alias("block"),
         _canon_name(F.col(name_cols[0])).alias("nm_l"),
     )
     b = right.select(
-        F.col(id_cols[1]).cast("long").alias("id_r"),
+        F.col(id_cols[1]).alias("id_r"),
         F.col(block_cols[1]).alias("__b"),
         _canon_name(F.col(name_cols[1])).alias("nm_r"),
     )

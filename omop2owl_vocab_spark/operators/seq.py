@@ -46,7 +46,11 @@ def lis_per_group(
     """
     import pandas as pd
 
-    out_schema = f"{group_col} long, n_events long, lis_len long"
+    # group key keeps its INPUT type (a lossy cast("long") would merge
+    # every non-numeric key into one NULL group and silently compute
+    # one interleaved LIS)
+    g_type = dict(df.dtypes)[group_col]
+    out_schema = f"{group_col} {g_type}, n_events long, lis_len long"
 
     def _lis(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -70,9 +74,9 @@ def lis_per_group(
         )
 
     base = df.select(
-        F.col(group_col).cast("long").alias("__g"),
+        F.col(group_col).alias("__g"),
         F.col(value_col).cast("double").alias("__v"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),  # keeps input type (tiebreak only)
     ).filter(F.col("__v").isNotNull())
     return base.groupBy("__g").applyInPandas(_lis, schema=out_schema)

@@ -55,9 +55,12 @@ def group_quantiles(
         raise ValueError("percents must be integers in 1..100")
     w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
     wn = Window.partitionBy(*group_cols)
+    # NULL values are EXCLUDED (a NULL sorts first in Spark but last in
+    # most SQL engines — inside the rank arithmetic it would silently
+    # shift or null the selected percentile); n counts non-null rows
     ranked = df.select(
         *[F.col(c) for c in group_cols], F.col(value_col).alias("__v")
-    ).select(
+    ).filter(F.col("__v").isNotNull()).select(
         "*",
         F.row_number().over(w.orderBy(F.col("__v").asc())).alias("__r"),
         F.count("*").over(wn).cast("long").alias("__n"),
@@ -162,7 +165,7 @@ def mad_outliers(
     base = df.select(
         *[F.col(c) for c in group_cols],
         F.col(value_col).cast("double").alias("__v"),
-    )
+    ).filter(F.col("__v").isNotNull())  # same NULL contract as group_quantiles
     w1 = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
     wn = Window.partitionBy(*group_cols)
     ranked = base.select(
@@ -235,7 +238,7 @@ def equal_freq_bins(
         raise ValueError("n_bins must be >= 1")
     base = df.select(
         *[F.col(c) for c in group_cols], F.col(value_col).alias("__v")
-    )
+    ).filter(F.col("__v").isNotNull())  # same NULL contract as group_quantiles
     w = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
     t = base.select(
         "*", F.ntile(n_bins).over(w).cast("long").alias("bin")

@@ -749,11 +749,12 @@ def chunk_documents(
 
     Chunk COUNT is exact integer arithmetic with a positivity clamp
     BEFORE the division (``(greatest(len − overlap, 1) + step − 1)
-    div step``) — Spark's ``div`` truncates toward zero while
-    DuckDB's ``//`` floors, so a negative numerator (doc shorter than
-    the overlap) would silently diverge; clamping first keeps both
-    engines on the same closed form.  Character (not byte) offsets in
-    both engines.
+    div step``): without it a doc shorter than ``overlap`` yields a
+    non-positive numerator → 0 chunks → the doc silently vanishes from
+    the output, and negative integer division is exactly where engine
+    semantics historically differ (truncate vs floor) — the clamp
+    keeps the closed form in the positive range where every engine
+    agrees.  Character (not byte) offsets in both engines.
 
     Plan shape: one narrow projection — ``sequence`` + ``explode``
     generates offsets engine-side, ``substring`` slices — no shuffle,

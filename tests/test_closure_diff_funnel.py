@@ -335,3 +335,19 @@ def test_rolling_daily_trailing_window(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         rolling_daily(gap_fill_daily(ev, "k"), window_days=0)
+
+
+def test_transition_matrix_null_ts_excluded(spark):
+    from omop2owl_vocab_spark.operators.funnel import transition_matrix
+
+    # review regression: NULL ts sorts first in Spark / last in DuckDB —
+    # the operator now excludes those rows entirely
+    ev = spark.createDataFrame(
+        [("u", 1, "a", 0), ("u", 2, "b", 1), ("u", 3, "c", None)],
+        "user_id string, event_id long, event_type string, s long",
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+    )
+    got = [tuple(r) for r in transition_matrix(ev).collect()]
+    assert got == [("a", "b", 1, 10000)]

@@ -264,3 +264,25 @@ def test_pps_sample_python_reference(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     got = {r["doc_id"] for r in pps_sample(df, "w", k=k, seed=seed).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_mad_outliers_and_quantiles_exclude_nulls(spark):
+    from omop2owl_vocab_spark.operators.stats import (
+        equal_freq_bins, group_quantiles, mad_outliers,
+    )
+
+    # review regression: NULLs sort FIRST in Spark windows — inside the
+    # rank arithmetic they shifted the selected median (or nulled it)
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1.0), ("g", 2.0), ("g", 3.0)],
+        "g string, v double",
+    )
+    row = mad_outliers(df, ["g"], "v").collect()[0]
+    assert (row["n"], row["med"]) == (3, 2.0)
+    q = group_quantiles(df, ["g"], "v", percents=(50,)).collect()[0]
+    assert (q["n"], q["p50"], q["min"]) == (3, 2.0, 1.0)
+    bins = {
+        r["bin"]: (r["n"], r["lo"], r["hi"])
+        for r in equal_freq_bins(df, ["g"], "v", n_bins=3).collect()
+    }
+    assert bins == {1: (1, 1.0, 1.0), 2: (1, 2.0, 2.0), 3: (1, 3.0, 3.0)}

@@ -77,3 +77,17 @@ def test_fuzzy_pairs_plan_join_only(spark):
     assert plan.count("Join") >= 1
     assert "Window" not in plan
     assert "levenshtein" in plan
+
+
+def test_fuzzy_pairs_string_ids(spark):
+    # review regression: a cast("long") NULLed non-numeric ids and
+    # silently returned zero pairs
+    df = spark.createDataFrame(
+        [("u-a", "acme corp", "us"), ("u-b", "acme korp", "us")],
+        "id string, name string, country string",
+    )
+    got = [
+        (r["id_l"], r["id_r"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "name", "country", max_dist=1).collect()
+    ]
+    assert got == [("u-a", "u-b", 1)]

@@ -44,3 +44,19 @@ def test_lis_descending_and_partition_invariance(spark):
     assert lis_per_group(ev).collect()[0]["lis_len"] == 1
     got = lis_per_group(ev.repartition(7)).collect()[0]
     assert (got["n_events"], got["lis_len"]) == (30, 1)
+
+
+def test_lis_string_group_keys(spark):
+    # review regression: cast("long") merged non-numeric keys into one
+    # NULL group
+    ev = spark.createDataFrame(
+        [("ua", 1, 1.0, 0), ("ua", 2, 2.0, 1), ("ub", 3, 5.0, 0)],
+        "user_id string, event_id long, value double, sec long",
+    ).select(
+        "user_id", "event_id", "value",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    got = {
+        r["user_id"]: r["lis_len"] for r in lis_per_group(ev).collect()
+    }
+    assert got == {"ua": 2, "ub": 1}
