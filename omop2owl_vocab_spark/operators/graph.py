@@ -425,3 +425,122 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, Bellman–Ford style:
+    ``(node, dist)`` = minimum total integer weight from any source,
+    relaxed for exactly ``rounds`` synchronous sweeps — so the result
+    is exact for every node whose shortest path uses ≤ ``rounds``
+    edges (the full fixpoint needs rounds ≥ longest shortest-path hop
+    count; same fixed-round contract as `pagerank_fixed`, and the
+    oracle unrolls the identical recurrence).  The hop-bounded form is
+    itself meaningful: "cheapest cost reachable within k hops" is the
+    budgeted-traversal question KG curation asks.
+
+    Integer weights only (longs) — sums are exact, no float
+    accumulation order to drift.  Negative weights are accepted
+    (Bellman–Ford's whole point) but negative CYCLES make the
+    fixed-round result round-dependent by definition; unreached nodes
+    are absent.
+
+    Plan shape per round: one hash-join (frontier dist ⋈ edges on src)
+    + one min-aggregate by dst + one full-outer-style min-merge with
+    the previous dists (a union + min-agg — cheaper than a join for
+    two key-value frames) — all node-keyed shuffles;
+    ``localCheckpoint`` truncates lineage per round.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = (
+        sources.select("node", F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Bipartite→unipartite projection (market-basket co-occurrence):
+    ``(item_a, item_b, n_baskets)`` for item pairs sharing at least
+    ``min_count`` baskets — the graph-CONSTRUCTION step that turns a
+    transaction table into the similarity graph every
+    recommend/cluster pass downstream consumes (co-purchased parts,
+    co-cited concepts, co-edited files).
+
+    Plan shape: distinct (basket, item) — one hash-agg — then a
+    basket-keyed self-join with ``item_a < item_b`` (each unordered
+    pair once, join-time) and one pair-keyed count.  Pair fan-out is
+    Σ_b |b|²/2, bounded by the basket size, NOT the corpus — the same
+    quadratic-inside-blocks shape as `resolve.fuzzy_pairs`, with the
+    same escape hatch: ``max_basket_size`` drops degenerate baskets
+    BEFORE the join (a basket holding half the catalog — the
+    "everything" order — contributes |catalog|²/2 pairs of zero
+    analytic value; count the drops with a `resolve.block_stats`-style
+    pre-flight on ``basket_col``).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    items = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    if max_basket_size is not None:
+        if max_basket_size < 2:
+            raise ValueError("max_basket_size must be >= 2")
+        ok = (
+            items.groupBy("basket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_basket_size)
+            .select("basket")
+        )
+        items = items.join(ok, "basket", "left_semi")
+    a = items.alias("pa")
+    b = items.alias("pb")
+    return (
+        a.join(
+            b,
+            (F.col("pa.basket") == F.col("pb.basket"))
+            & (F.col("pa.item") < F.col("pb.item")),
+        )
+        .groupBy(
+            F.col("pa.item").alias("item_a"),
+            F.col("pb.item").alias("item_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )

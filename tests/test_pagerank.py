@@ -238,3 +238,51 @@ def test_label_propagation_tiebreak_min_label(spark):
         for r in label_propagation(e, rounds=1).collect()
     }
     assert got == {5: 2, 2: 5, 7: 5}
+
+
+def test_bellman_ford_weighted_vs_hops(spark):
+    from omop2owl_vocab_spark.operators.graph import bellman_ford
+
+    # 1->2 (w10), 2->3 (w10), 1->3 (w25): cheapest to 3 is 20 via 2
+    # hops even though the direct edge exists; 3->4 w-5 exercises a
+    # negative (acyclic) weight
+    e = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (1, 3, 25), (3, 4, -5)],
+        "src long, dst long, w long",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(e, srcs, rounds=6).collect()
+    }
+    assert got == {1: 0, 2: 10, 3: 20, 4: 15}
+    # hop-bounded: one round only sees direct edges
+    got1 = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(e, srcs, rounds=1).collect()
+    }
+    assert got1 == {1: 0, 2: 10, 3: 25}
+
+
+def test_cooccurrence_pairs_basket_projection(spark):
+    from omop2owl_vocab_spark.operators.graph import cooccurrence_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "x"),   # dup item in basket counts once
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "y"), (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "o long, p string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, "o", "p", min_count=2).collect()
+    }
+    assert got == {("x", "y"): 2, ("y", "z"): 2}
+    # cap drops the 3-item basket entirely
+    got_cap = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(
+            df, "o", "p", min_count=1, max_basket_size=2
+        ).collect()
+    }
+    assert got_cap == {("x", "y"): 1, ("y", "z"): 1}
