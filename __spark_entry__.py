@@ -3994,6 +3994,117 @@ HAVING COUNT(*) >= 3
 # ---------------------------------------------------------------- exports
 
 
+def _q_upsert(spark, sf_dir):
+    """CDC changelog → final snapshot (`operators/cdc.py:
+    changelog_apply`): events replayed as a per-user upsert log ordered
+    by (ts, event_id); the last writer wins via one partially-
+    aggregatable max_by(struct) hash-agg (map-side combine collapses
+    each key's log before the shuffle — no window, no sort), and users
+    whose LAST operation is the 'error' tombstone drop.  value exported
+    in exact integer hundredths."""
+    from omop2owl_vocab_spark.operators.cdc import changelog_apply
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    log = ev.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_e2"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("updated_us"),
+        "event_id",
+    )
+    snap = changelog_apply(
+        log,
+        keys=["user_id"],
+        seq_cols=["updated_us", "event_id"],
+        op_col="last_op",
+        delete_values=("error",),
+    )
+    return snap.select("user_id", "last_op", "value_e2", "updated_us")
+
+
+_Q_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2,
+         epoch_us(ts) AS updated_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS rn
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id, event_type AS last_op, value_e2, updated_us
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _q_scd2(spark, sf_dir):
+    """SCD-2 history build (`operators/cdc.py:scd2_history`): each
+    user's event_type stream collapses into change-point versions with
+    [valid_from, valid_to) microsecond intervals, valid_to NULL on the
+    current version.  One shuffle+sort on user_id shared by the
+    change-flag lag and the running version sum; the interval lead runs
+    over the collapsed version frame only."""
+    from omop2owl_vocab_spark.operators.cdc import scd2_history
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    hist = scd2_history(
+        ev,
+        keys=["user_id"],
+        attr_cols=["event_type"],
+        seq_col="ts_us",
+        tiebreak_cols=["event_id"],
+    )
+    return hist.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
+_Q_SCD2_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM seq
+),
+versioned AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+collapsed AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         min(event_type) AS event_type,
+         min(ts_us) AS valid_from_us
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, event_type, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to_us
+FROM collapsed
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4006,6 +4117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_upsert": _q_upsert,
+        "q_scd2": _q_scd2,
         "q_transitions": _q_transitions,
         "pipe_pps": _pipe_pps,
         "dd_containment": _dd_containment,
@@ -4110,6 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_upsert": _Q_UPSERT_SQL,
+        "q_scd2": _Q_SCD2_SQL,
         "kg_full_emission": _KG_FULL_EMISSION_SQL,
         "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,
