@@ -4105,6 +4105,54 @@ FROM collapsed
 """
 
 
+def _dd_prefix_join(spark, sf_dir):
+    """Prefix-filtered exact set-similarity join (`operators/dedup.py:
+    prefix_filter_pairs`, PPJoin family): only each document's rarest
+    |d|−⌈t·|d|⌉+1 bigram shingles are indexed — deterministic recall-1.0
+    candidates without LSH's probabilistic miss — then exact-Jaccard
+    verified.  Oracle is the full brute-force inverted-index Jaccard at
+    the same threshold: the prefix filter must lose nothing."""
+    from omop2owl_vocab_spark.operators.dedup import (
+        prefix_filter_pairs,
+        word_shingles,
+    )
+
+    sh = word_shingles(_docs64(spark, sf_dir), n=2)
+    return prefix_filter_pairs(sh, threshold=0.4)
+
+
+_DD_PREFIX_JOIN_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+             AS shingle
+    FROM t WHERE len(toks) >= 2
+  ) WHERE shingle <> ''
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM s GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5)
+            AS BIGINT) AS jaccard_e4
+FROM inter
+JOIN sz za ON za.id = id_a
+JOIN sz zb ON zb.id = id_b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4119,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN recall metric
         "q_upsert": _q_upsert,
         "q_scd2": _q_scd2,
+        "dd_prefix_join": _dd_prefix_join,
         "q_transitions": _q_transitions,
         "pipe_pps": _pipe_pps,
         "dd_containment": _dd_containment,
@@ -4225,6 +4274,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_upsert": _Q_UPSERT_SQL,
         "q_scd2": _Q_SCD2_SQL,
+        "dd_prefix_join": _DD_PREFIX_JOIN_SQL,
         "kg_full_emission": _KG_FULL_EMISSION_SQL,
         "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,

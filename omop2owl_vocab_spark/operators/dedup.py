@@ -680,3 +680,59 @@ def containment_pairs(
             F.expr("(inter * 10000) div sz_b").alias("cont_b_e4"),
         )
     )
+
+
+def prefix_filter_pairs(
+    shingled: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PREFIX FILTERING (PPJoin family,
+    Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07) — the third scale
+    path to the same answer as ``jaccard_pairs`` (inverted index) and
+    ``lsh_candidate_pairs``+verify (probabilistic): deterministic,
+    recall-1.0 candidate generation that only indexes each document's
+    RAREST ``|d| - ceil(t*|d|) + 1`` shingles.
+
+    Under ANY common total order, two sets with Jaccard >= t must share
+    a token inside those prefixes (a disjoint-prefix pair has overlap
+    < ceil(t*|d|) on one side, forcing J < t); ordering by ascending
+    global frequency makes the indexed lists the coldest posting lists,
+    so the candidate join touches a small fraction of the full inverted
+    index — typically 10-100x fewer candidates at t >= 0.5 — while
+    staying exact end-to-end (survivors are verified with the full
+    intersection count).
+
+    Plan: one shuffle to count shingle frequency, one shuffle joining
+    freq back (both on `shingle`, the second reuses the first's
+    partitioning), one window by id ranking (freq, shingle) rows, the
+    prefix self-join, then ``jaccard_pairs`` verification on the
+    candidates only.  No global rank table and no global sort — the
+    frequency order is evaluated per-document.
+
+    Returns (id_a, id_b, jaccard_e4), identical to
+    ``jaccard_pairs(shingled, threshold)``.
+    """
+    from pyspark.sql import Window
+
+    freq = shingled.groupBy("shingle").agg(F.count("*").alias("__freq"))
+    sized = shingled.join(freq, "shingle")
+    w = Window.partitionBy("id").orderBy("__freq", "shingle")
+    szw = Window.partitionBy("id")
+    ranked = sized.select(
+        "id",
+        "shingle",
+        F.row_number().over(w).alias("__rnk"),
+        F.count("*").over(szw).alias("__sz"),
+    )
+    p_len = F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
+    prefix = ranked.filter(F.col("__rnk") <= p_len).select("id", "shingle")
+    cands = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), F.col("pa.shingle") == F.col("pb.shingle"))
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b")
+        )
+        .distinct()
+    )
+    return jaccard_pairs(shingled, threshold, candidates=cands)
