@@ -4153,6 +4153,98 @@ WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.4
 """
 
 
+def _kg_dag_levels(spark, sf_dir):
+    """Longest-path DAG layering (`operators/graph.py:
+    dag_longest_levels`): topological strata of the part-key hierarchy
+    (tree edges k → k div 10 plus the %13 shortcut edges, the
+    kg_ancestors DAG) — roots at level 0, every node at
+    max(parent level)+1, Bellman max-propagation with early exit and a
+    convergence guard that doubles as a cycle detector.  Oracle: DuckDB
+    recursive CTE taking max upward-path length per node, roots pinned
+    at 0."""
+    from omop2owl_vocab_spark.operators.graph import dag_longest_levels
+
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 10").alias("parent"),
+    ).filter(F.col("parent") >= 1)
+    skip = part.filter(F.expr("p_partkey % 13 = 0")).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 100").alias("parent"),
+    ).filter(F.col("parent") >= 1)
+    return dag_longest_levels(base.unionByName(skip), max_iter=12)
+
+
+_KG_DAG_LEVELS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 10 AS parent
+  FROM part WHERE p_partkey // 10 >= 1
+  UNION ALL
+  SELECT p_partkey AS child, p_partkey // 100 AS parent
+  FROM part WHERE p_partkey % 13 = 0 AND p_partkey // 100 >= 1
+),
+up(node, anc, lvl) AS (
+  SELECT child, parent, 1 FROM edges WHERE child <> parent
+  UNION
+  SELECT u.node, e.parent, u.lvl + 1
+  FROM up u JOIN edges e ON e.child = u.anc
+  WHERE e.child <> e.parent
+),
+roots AS (
+  SELECT DISTINCT parent AS node FROM edges
+  WHERE parent NOT IN (SELECT child FROM edges WHERE child <> parent)
+)
+SELECT node, CAST(max(lvl) AS BIGINT) AS level FROM up GROUP BY node
+UNION ALL
+SELECT node, CAST(0 AS BIGINT) AS level FROM roots
+"""
+
+
+def _kg_node_sim(spark, sf_dir):
+    """Structural node similarity (`operators/graph.py:
+    neighbor_jaccard`): neighbor-set Jaccard over the shared customer-key
+    graph, pairs sharing >= 2 neighbors at J >= 0.25 — the
+    link-prediction primitive, same inverted-index join shape as the
+    document set-similarity family but on adjacency."""
+    from omop2owl_vocab_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _custkey_edges(spark, sf_dir), threshold=0.25, min_common=2
+    )
+
+
+_KG_NODE_SIM_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT s AS node, t AS nbr FROM raw WHERE s <> t
+    UNION ALL
+    SELECT t AS node, s AS nbr FROM raw WHERE s <> t
+  )
+),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+common AS (
+  SELECT a.node AS node_a, b.node AS node_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY a.node, b.node
+  HAVING COUNT(*) >= 2
+)
+SELECT node_a, node_b, common,
+       CAST(da.deg + db.deg - common AS BIGINT) AS union_sz,
+       CAST(floor(CAST(common AS DOUBLE) / (da.deg + db.deg - common)
+                  * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+FROM common
+JOIN deg da ON da.node = node_a
+JOIN deg db ON db.node = node_b
+WHERE CAST(common AS DOUBLE) / (da.deg + db.deg - common) >= 0.25
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4168,6 +4260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert": _q_upsert,
         "q_scd2": _q_scd2,
         "dd_prefix_join": _dd_prefix_join,
+        "kg_dag_levels": _kg_dag_levels,
+        "kg_node_sim": _kg_node_sim,
         "q_transitions": _q_transitions,
         "pipe_pps": _pipe_pps,
         "dd_containment": _dd_containment,
@@ -4275,6 +4369,8 @@ def oracle_sql() -> dict[str, str]:
         "q_upsert": _Q_UPSERT_SQL,
         "q_scd2": _Q_SCD2_SQL,
         "dd_prefix_join": _DD_PREFIX_JOIN_SQL,
+        "kg_dag_levels": _KG_DAG_LEVELS_SQL,
+        "kg_node_sim": _KG_NODE_SIM_SQL,
         "kg_full_emission": _KG_FULL_EMISSION_SQL,
         "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,

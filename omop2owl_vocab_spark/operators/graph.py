@@ -544,3 +544,127 @@ def cooccurrence_pairs(
         .agg(F.count("*").cast("long").alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_count)
     )
+
+
+def dag_longest_levels(
+    edges: DataFrame,
+    max_iter: int = 16,
+    child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Longest-path DAG layering: ``(node, level)`` where roots (nodes
+    that never appear as a child) sit at level 0 and every other node's
+    level is ``max(level(parent)) + 1`` over its in-edges — the
+    topological strata used to schedule hierarchy rollups (each level
+    depends only on lower ones) and to report ontology depth.
+
+    Bellman-style max-propagation with a FIXED round budget: per round,
+    join current levels to the edge list on the parent side, take
+    ``max(level(parent) + 1, level(child))`` per child, stop early when
+    no level changed.  ``max_iter`` must be >= the DAG depth (raises if
+    the budget is exhausted while still changing — which also catches a
+    cycle fed in by mistake, since a cycle never converges).  Work per
+    round is one key-partitioned join + one hash-agg, O(E) each —
+    depth-bounded, and real concept hierarchies are shallow (SNOMED
+    ~30, file trees ~20), so the round count is a small constant;
+    ``localCheckpoint`` per round truncates lineage as in
+    `connected_components`.
+    """
+    e = edges.select(
+        F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
+    ).filter(F.col("child") != F.col("parent"))
+    nodes = (
+        e.select(F.col("child").alias("node"))
+        .unionByName(e.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    levels = nodes.select("node", F.lit(0).cast("long").alias("level"))
+    levels = levels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        cand = (
+            e.join(levels, e.parent == levels.node)
+            .select(
+                F.col("child").alias("node"),
+                (F.col("level") + 1).alias("level"),
+            )
+        )
+        new_levels = (
+            levels.unionByName(cand)
+            .groupBy("node")
+            .agg(F.max("level").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_levels.alias("n")
+            .join(levels.alias("o"), "node")
+            .filter(F.col("n.level") != F.col("o.level"))
+            .limit(1)
+            .count()
+        )
+        levels = new_levels
+        if changed == 0:
+            return levels
+    raise ValueError(
+        f"dag_longest_levels did not converge in {max_iter} rounds — "
+        "either raise max_iter above the DAG depth or check for cycles"
+    )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    threshold: float = 0.25,
+    min_common: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Structural node similarity: ``(node_a, node_b, common, union_sz,
+    jaccard_e4)`` for unordered node pairs whose UNDIRECTED neighbor
+    sets overlap — |N(a) ∩ N(b)| / |N(a) ∪ N(b)| >= ``threshold`` with
+    at least ``min_common`` shared neighbors.  The link-prediction /
+    role-equivalence primitive (two files imported by the same modules,
+    two users touching the same items).
+
+    Same shape as the set-similarity joins in `dedup`: adjacency long
+    form (node, neighbor) with self-loops dropped and duplicate edges
+    collapsed, self-joined on the NEIGHBOR key — only pairs sharing a
+    neighbor are ever materialized, so the blowup is bounded by
+    sum(deg²) over neighbors; skewed hub neighbors are the classic
+    hazard and should be capped upstream (compose with `k_core` or a
+    degree filter) exactly like LSH bucket caps.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    adj = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    common = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.nbr") == F.col("b.nbr"))
+        .filter(F.col("a.node") < F.col("b.node"))
+        .groupBy(
+            F.col("a.node").alias("node_a"), F.col("b.node").alias("node_b")
+        )
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("__db"))
+    uni = F.col("__da") + F.col("__db") - F.col("common")
+    jac = F.col("common") / uni
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .filter(jac >= threshold)
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            uni.cast("long").alias("union_sz"),
+            F.floor(jac * 10000 + F.lit(0.5)).cast("long").alias("jaccard_e4"),
+        )
+    )
