@@ -4245,6 +4245,103 @@ WHERE CAST(common AS DOUBLE) / (da.deg + db.deg - common) >= 0.25
 """
 
 
+def _q_bloom_semi(spark, sf_dir):
+    """Bucket-sketch-prefiltered semi join (`operators/prejoin.py:
+    bucket_prefilter_semi_join`): lineitem rows restricted to suppliers
+    with negative account balance — stage 1 broadcasts the distinct
+    xxhash64 buckets of the small key set and drops non-colliding fact
+    rows map-side with NO shuffle, stage 2 exact-semi-joins the
+    survivors, so the result equals the plain semi join (the oracle)
+    while the shuffle carries only sketch survivors.  Aggregated per
+    returnflag to keep the driver row count small."""
+    from omop2owl_vocab_spark.operators.prejoin import (
+        bucket_prefilter_semi_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    semi = bucket_prefilter_semi_join(
+        li, supp, on=[("l_suppkey", "s_suppkey")]
+    )
+    return semi.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("qty_e2"),
+    )
+
+
+_Q_BLOOM_SEMI_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS qty_e2
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY l_returnflag
+"""
+
+
+def _txt_inverted_index(spark, sf_dir):
+    """Corpus inverted index (`operators/text.py:inverted_index`):
+    per-term document frequency, total term frequency, and the first 20
+    doc ids as a pipe-joined posting preview — explode → combinable
+    (term, doc) agg → per-term agg, postings capped before leaving the
+    executor.  min_df=3 plays the stopword/hapax cap."""
+    from omop2owl_vocab_spark.operators.text import inverted_index
+
+    return inverted_index(
+        _docs64(spark, sf_dir), max_postings=20, min_df=3
+    )
+
+
+_TXT_INVERTED_INDEX_SQL = """
+WITH term_doc AS (
+  SELECT term, doc_id AS doc, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+             AS term
+    FROM documents
+  ) GROUP BY term, doc_id
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_sum,
+       array_to_string(list_slice(list_sort(list(doc)), 1, 20), '|')
+         AS postings
+FROM term_doc GROUP BY term
+HAVING COUNT(*) >= 3
+"""
+
+
+def _q_except_all(spark, sf_dir):
+    """EXCEPT ALL multiset difference (native `exceptAll`): order keys
+    shipped in lineitem minus one multiplicity per order row — bag
+    semantics the DISTINCT-based except can't express (an orderkey with
+    4 lineitem rows keeps 3 copies).  Exported with a per-key count so
+    the multiset is hash-comparable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    return (
+        li.exceptAll(orders)
+        .groupBy("okey")
+        .agg(F.count("*").cast("long").alias("n_extra"))
+    )
+
+
+_Q_EXCEPT_ALL_SQL = """
+SELECT okey, CAST(COUNT(*) AS BIGINT) AS n_extra FROM (
+  SELECT l_orderkey AS okey FROM lineitem
+  EXCEPT ALL
+  SELECT o_orderkey AS okey FROM orders
+) GROUP BY okey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4262,6 +4359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_prefix_join": _dd_prefix_join,
         "kg_dag_levels": _kg_dag_levels,
         "kg_node_sim": _kg_node_sim,
+        "q_bloom_semi": _q_bloom_semi,
+        "txt_inverted_index": _txt_inverted_index,
+        "q_except_all": _q_except_all,
         "q_transitions": _q_transitions,
         "pipe_pps": _pipe_pps,
         "dd_containment": _dd_containment,
@@ -4371,6 +4471,9 @@ def oracle_sql() -> dict[str, str]:
         "dd_prefix_join": _DD_PREFIX_JOIN_SQL,
         "kg_dag_levels": _KG_DAG_LEVELS_SQL,
         "kg_node_sim": _KG_NODE_SIM_SQL,
+        "q_bloom_semi": _Q_BLOOM_SEMI_SQL,
+        "txt_inverted_index": _TXT_INVERTED_INDEX_SQL,
+        "q_except_all": _Q_EXCEPT_ALL_SQL,
         "kg_full_emission": _KG_FULL_EMISSION_SQL,
         "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,

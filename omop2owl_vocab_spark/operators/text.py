@@ -791,3 +791,46 @@ def chunk_documents(
             ).alias("chunk"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus inverted index: one row per lowercased whitespace term —
+    ``(term, df, tf_sum, postings)`` where ``df`` counts documents
+    containing the term, ``tf_sum`` totals its occurrences, and
+    ``postings`` is the first ``max_postings`` doc ids in ascending
+    order, pipe-joined (the truncated posting-list preview; full lists
+    belong in a partitioned sink, not a driver row).
+
+    Plan: explode → per-(term, doc) count (the map-side-combinable
+    inner agg) → per-term agg with ``slice(sort_array(collect_set))``
+    for the capped postings.  collect_set is bounded per term by df —
+    the one skew hazard (stopword terms collect huge sets before the
+    slice); cap it upstream with a stopword/min-length filter when df
+    is unbounded, exactly like the LSH bucket caps.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    term_doc = (
+        df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        term_doc.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+            F.concat_ws(
+                "|",
+                F.slice(
+                    F.sort_array(F.collect_set("doc")), 1, max_postings
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
