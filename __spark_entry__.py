@@ -4342,6 +4342,108 @@ SELECT okey, CAST(COUNT(*) AS BIGINT) AS n_extra FROM (
 """
 
 
+def _sim_quantize(spark, sf_dir):
+    """Int8 scalar quantization (`operators/similarity.py:
+    scalar_quantize`): corpus min/max per dimension (dimension-keyed
+    micro-agg), stats broadcast back as two array literals, codes
+    computed by exact long arithmetic on e6 fixed-point components —
+    the 4x vector-compression step in front of ANN indexes,
+    hash-reproducible across engines."""
+    from omop2owl_vocab_spark.operators.similarity import scalar_quantize
+
+    return scalar_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+_SIM_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v6
+  FROM embeddings
+),
+ex AS (
+  SELECT pos, v6[pos] AS val
+  FROM e, unnest(generate_series(1, len(v6))) AS t(pos)
+),
+stats AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos),
+packed AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+  FROM stats
+)
+SELECT vec_id,
+       list_transform(generate_series(1, len(v6)), i ->
+         CAST(CASE WHEN maxs[i] = mins[i] THEN 0
+                   ELSE ((v6[i] - mins[i]) * 255) // (maxs[i] - mins[i])
+              END AS BIGINT)) AS codes
+FROM e, packed
+"""
+
+
+def _kg_walks(spark, sf_dir):
+    """Derandomized DeepWalk corpus (`operators/graph.py:
+    deterministic_walks`): 4-step walks from every node of the shared
+    customer-key graph, each step an arithmetic-hash pick into the
+    sorted neighbor list — length chained node-keyed joins, walk state
+    one row per start, reproducible across engines (the resumability
+    property hash-verified here).  Oracle: the same recurrence unrolled
+    as 4 chained CTE joins."""
+    from omop2owl_vocab_spark.operators.graph import deterministic_walks
+
+    return deterministic_walks(_custkey_edges(spark, sf_dir), length=4)
+
+
+_KG_WALKS_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+und AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT s AS node, t AS nbr FROM raw WHERE s <> t
+    UNION ALL
+    SELECT t AS node, s AS nbr FROM raw WHERE s <> t
+  )
+),
+adj AS (SELECT node, list_sort(list(nbr)) AS nbrs FROM und GROUP BY node),
+w0 AS (
+  SELECT node AS start, node AS cur, CAST(node AS VARCHAR) AS path FROM adj
+),
+w1 AS (
+  SELECT w.start,
+         a.nbrs[((w.cur * 2654435761 + 1 * 40503) % len(a.nbrs)) + 1] AS cur,
+         w.path || '>' || CAST(
+           a.nbrs[((w.cur * 2654435761 + 1 * 40503) % len(a.nbrs)) + 1]
+           AS VARCHAR) AS path
+  FROM w0 w JOIN adj a ON a.node = w.cur
+),
+w2 AS (
+  SELECT w.start,
+         a.nbrs[((w.cur * 2654435761 + 2 * 40503) % len(a.nbrs)) + 1] AS cur,
+         w.path || '>' || CAST(
+           a.nbrs[((w.cur * 2654435761 + 2 * 40503) % len(a.nbrs)) + 1]
+           AS VARCHAR) AS path
+  FROM w1 w JOIN adj a ON a.node = w.cur
+),
+w3 AS (
+  SELECT w.start,
+         a.nbrs[((w.cur * 2654435761 + 3 * 40503) % len(a.nbrs)) + 1] AS cur,
+         w.path || '>' || CAST(
+           a.nbrs[((w.cur * 2654435761 + 3 * 40503) % len(a.nbrs)) + 1]
+           AS VARCHAR) AS path
+  FROM w2 w JOIN adj a ON a.node = w.cur
+),
+w4 AS (
+  SELECT w.start,
+         w.path || '>' || CAST(
+           a.nbrs[((w.cur * 2654435761 + 4 * 40503) % len(a.nbrs)) + 1]
+           AS VARCHAR) AS path
+  FROM w3 w JOIN adj a ON a.node = w.cur
+)
+SELECT start, path FROM w4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4362,6 +4464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_semi": _q_bloom_semi,
         "txt_inverted_index": _txt_inverted_index,
         "q_except_all": _q_except_all,
+        "sim_quantize": _sim_quantize,
+        "kg_walks": _kg_walks,
         "q_transitions": _q_transitions,
         "pipe_pps": _pipe_pps,
         "dd_containment": _dd_containment,
@@ -4474,6 +4578,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_semi": _Q_BLOOM_SEMI_SQL,
         "txt_inverted_index": _TXT_INVERTED_INDEX_SQL,
         "q_except_all": _Q_EXCEPT_ALL_SQL,
+        "sim_quantize": _SIM_QUANTIZE_SQL,
+        "kg_walks": _KG_WALKS_SQL,
         "kg_full_emission": _KG_FULL_EMISSION_SQL,
         "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,

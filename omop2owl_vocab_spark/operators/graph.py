@@ -668,3 +668,63 @@ def neighbor_jaccard(
             F.floor(jac * 10000 + F.lit(0.5)).cast("long").alias("jaccard_e4"),
         )
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    length: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    mult_a: int = 2654435761,
+    mult_b: int = 40503,
+) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus, DERANDOMIZED: one walk of
+    ``length`` steps from every node over the undirected simple graph,
+    the step-i choice picked by the arithmetic hash
+    ``(cur * mult_a + i * mult_b) mod deg(cur)`` into the node's
+    SORTED neighbor list — reproducible across engines and runs (the
+    property a 100 TB embedding pipeline needs for resumable corpus
+    generation; swap ``mult_a/mult_b`` per epoch for fresh walks).
+
+    Returns ``(start, path)`` with ``path`` the '>'-joined node chain
+    including the start (length+1 nodes).
+
+    Plan: one agg building ``(node, sorted neighbors)`` adjacency, then
+    ``length`` chained hash-joins on the current node — per-step state
+    is one row per walk, the join key is the frontier node, and the
+    adjacency side is reused every round (cache/checkpoint it when
+    length is large).  All integer expressions, no UDF.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    adj = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    )
+    walks = adj.select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for step in range(1, length + 1):
+        idx = F.pmod(
+            F.col("cur") * F.lit(mult_a) + F.lit(step * mult_b),
+            F.size("nbrs"),
+        )
+        walks = (
+            walks.join(adj, walks.cur == adj.node)
+            .select(
+                "start",
+                F.element_at("nbrs", (idx + 1).cast("int")).alias("cur"),
+                F.concat_ws(
+                    ">",
+                    "path",
+                    F.element_at("nbrs", (idx + 1).cast("int")).cast("string"),
+                ).alias("path"),
+            )
+        )
+    return walks.select("start", "path")

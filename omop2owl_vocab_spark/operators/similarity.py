@@ -501,3 +501,65 @@ def ann_recall(
             ).cast("long").alias("recall_e4"),
         )
     )
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization (the int8 compression step in
+    front of ANN indexes — 4x smaller vectors, distance computed on
+    codes): corpus-wide min/max per dimension, each component mapped to
+    ``floor((x - min) * (levels-1) / (max - min))`` in {0..levels-1};
+    constant dimensions map to 0.
+
+    Everything is EXACT integer arithmetic after a fixed-point e6
+    conversion (floor(x*1e6+0.5) on the double-widened component —
+    deterministic across engines), so the codes are hash-reproducible:
+    the floor division is computed as ``(d*(levels-1) - pmod(...)) / r``
+    on longs, never a double rounding.
+
+    Plan: posexplode → per-dimension min/max hash-agg (rows = dim
+    count, trivially small) → the stats packed into two array literals
+    via one single-row aggregate → broadcast cross-join back and a pure
+    zip_with projection per row.  No driver collect, no UDF; the only
+    shuffle is the dimension-keyed stats agg whose input is the one
+    unavoidable full scan.
+
+    Returns ``(id_col, codes: array<long>)``.
+    """
+    v6 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    e6 = emb.select(F.col(id_col), v6.alias("__v6"))
+    ex = e6.select(F.posexplode("__v6").alias("pos", "val"))
+    stats = ex.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    packed = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("__mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("__maxs"),
+    )
+    lv = F.lit(levels - 1)
+    diff = F.zip_with(F.col("__v6"), F.col("__mins"), lambda x, m: x - m)
+    rng = F.zip_with(F.col("__maxs"), F.col("__mins"), lambda a, b: a - b)
+    codes = F.zip_with(
+        diff,
+        rng,
+        lambda d, r: F.when(r == 0, F.lit(0).cast("long")).otherwise(
+            ((d * lv - F.pmod(d * lv, r)) / r).cast("long")
+        ),
+    )
+    return (
+        e6.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), codes.alias("codes"))
+    )
