@@ -4444,6 +4444,80 @@ SELECT start, path FROM w4
 """
 
 
+def _pipe_negatives(spark, sf_dir):
+    """Deterministic negative sampling (`operators/sample.py:
+    cyclic_negatives`): each document paired with the next 3 documents
+    in its bucket's id-sorted cycle — per-bucket windows instead of a
+    global index, so no single-partition sort anywhere.  The driver
+    form buckets by doc_id mod 16 (arithmetic, so DuckDB re-derives
+    identical pairs; production default is xxhash64)."""
+    from omop2owl_vocab_spark.operators.sample import cyclic_negatives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return cyclic_negatives(
+        docs,
+        id_col="doc_id",
+        k=3,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
+
+
+_PIPE_NEGATIVES_SQL = """
+WITH idx AS (
+  SELECT doc_id, doc_id % 16 AS b,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1
+           AS i,
+         COUNT(*) OVER (PARTITION BY doc_id % 16) AS sz
+  FROM documents
+),
+wanted AS (
+  SELECT doc_id, b, j, (i + j) % sz AS nidx, i
+  FROM idx, unnest(generate_series(1, 3)) AS t(j)
+  WHERE (i + j) % sz <> i
+)
+SELECT w.doc_id, p.doc_id AS neg_id, CAST(w.j AS BIGINT) AS j
+FROM wanted w JOIN idx p ON p.b = w.b AND p.i = w.nidx
+"""
+
+
+def _q_rank_norm(spark, sf_dir):
+    """Per-group rank normalization (`operators/stats.py:
+    rank_normalize`): percent_rank of order price within each priority
+    in exact e4 integer arithmetic — the calibration/feature-scaling
+    primitive.  Price is e2-fixed BEFORE ranking so the sort key is a
+    long on both engines."""
+    from omop2owl_vocab_spark.operators.stats import rank_normalize
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_e2"),
+    )
+    return rank_normalize(orders, ["o_orderpriority"], "price_e2")
+
+
+_Q_RANK_NORM_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+  FROM orders
+),
+r AS (
+  SELECT *,
+         rank() OVER (PARTITION BY o_orderpriority ORDER BY price_e2) - 1
+           AS r0,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) - 1 AS n1
+  FROM t
+)
+SELECT o_orderkey, o_orderpriority, price_e2,
+       CAST(CASE WHEN n1 = 0 THEN 0 ELSE (r0 * 10000) // n1 END AS BIGINT)
+         AS pct_rank_e4
+FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4466,6 +4540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_except_all": _q_except_all,
         "sim_quantize": _sim_quantize,
         "kg_walks": _kg_walks,
+        "pipe_negatives": _pipe_negatives,
+        "q_rank_norm": _q_rank_norm,
         "q_transitions": _q_transitions,
         "pipe_pps": _pipe_pps,
         "dd_containment": _dd_containment,
@@ -4580,6 +4656,8 @@ def oracle_sql() -> dict[str, str]:
         "q_except_all": _Q_EXCEPT_ALL_SQL,
         "sim_quantize": _SIM_QUANTIZE_SQL,
         "kg_walks": _KG_WALKS_SQL,
+        "pipe_negatives": _PIPE_NEGATIVES_SQL,
+        "q_rank_norm": _Q_RANK_NORM_SQL,
         "kg_full_emission": _KG_FULL_EMISSION_SQL,
         "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,

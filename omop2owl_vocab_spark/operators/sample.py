@@ -10,7 +10,7 @@ bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -201,3 +201,69 @@ def pps_sample(
             F.col("__draw").alias("pps_key"),
         )
     )
+
+
+def cyclic_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 64,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    ``(id, neg_id, j)`` pairs each item with the next ``k`` items
+    (cyclically, j = 1..k) inside its hash bucket's id-sorted order —
+    the distributed stand-in for uniform negatives that needs NO global
+    index: a global row_number would serialize on one partition, while
+    the per-bucket window parallelizes across ``n_buckets`` and the
+    pair-completion join reuses the same (bucket, idx) partitioning.
+
+    Bucket membership is ``pmod(xxhash64(id), n_buckets)`` by default
+    (pass ``bucket_col`` to override — e.g. an arithmetic form when an
+    external system must re-derive the same pairs).  Within-bucket
+    cyclic neighbors of a hashed order are exchangeable with uniform
+    draws for training purposes, reproducible across runs/engines, and
+    collision-free by construction (an item never pairs with itself;
+    buckets with a single item yield nothing).  Duplicate partners can
+    occur only when a bucket holds <= k items (the cycle wraps) — they
+    keep distinct j, so downstream dedup is one distinct away if
+    unwanted.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    b = (
+        bucket_col
+        if bucket_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
+    w = Window.partitionBy("__b").orderBy(id_col)
+    indexed = df.select(F.col(id_col), b.alias("__b")).select(
+        F.col(id_col),
+        "__b",
+        (F.row_number().over(w) - 1).alias("__idx"),
+        F.count("*").over(Window.partitionBy("__b")).alias("__sz"),
+    )
+    wanted = indexed.select(
+        F.col(id_col),
+        "__b",
+        "__sz",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(k))
+        ).alias("j"),
+        F.col("__idx"),
+    ).select(
+        F.col(id_col),
+        "__b",
+        "j",
+        F.pmod(F.col("__idx") + F.col("j"), F.col("__sz")).alias("__nidx"),
+        "__idx",
+    ).filter(F.col("__nidx") != F.col("__idx"))
+    partner = indexed.select(
+        F.col("__b").alias("__pb"),
+        F.col("__idx").alias("__pidx"),
+        F.col(id_col).alias("neg_id"),
+    )
+    return wanted.join(
+        partner,
+        (F.col("__b") == F.col("__pb")) & (F.col("__nidx") == F.col("__pidx")),
+    ).select(F.col(id_col), "neg_id", "j")

@@ -248,3 +248,37 @@ def equal_freq_bins(
         F.min("__v").alias("lo"),
         F.max("__v").alias("hi"),
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "pct_rank_e4",
+) -> DataFrame:
+    """Per-group rank normalization (the quantile/rank feature scaling
+    used before tree-free models and for cross-group score calibration):
+    appends ``out_col`` = percent_rank within each ``keys`` group in
+    EXACT e4 fixed point — ``(rank-1)*10000 div (n-1)`` on integers
+    (single-row groups pin to 0), never a double, so engines can't
+    diverge on rounding.  Ties share a rank (SQL percent_rank
+    semantics).  NULL values are excluded (dropped, not ranked — a NULL
+    feature has no rank).
+
+    One shuffle+sort on the group key; rank and count windows share the
+    partitioning.
+    """
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    wsz = Window.partitionBy(*keys)
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        "*",
+        (F.rank().over(w) - 1).alias("__r0"),
+        (F.count("*").over(wsz) - 1).alias("__n1"),
+    )
+    pct = F.when(F.col("__n1") == 0, F.lit(0).cast("long")).otherwise(
+        ((F.col("__r0") * 10000) - F.pmod(F.col("__r0") * 10000, F.col("__n1")))
+        / F.col("__n1")
+    ).cast("long")
+    return ranked.select(
+        *[c for c in df.columns], pct.alias(out_col)
+    )
