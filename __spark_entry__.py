@@ -4518,6 +4518,102 @@ FROM r
 """
 
 
+def _q_sweepline(spark, sf_dir):
+    """Sweep-line peak concurrency (`operators/timeseries.py:
+    max_concurrency`): events widened to 5-minute [start, end)
+    intervals per user, +1/-1 deltas merged and running-summed with
+    ends ordered before starts at equal instants, then per-user peak
+    and the earliest instant it is reached — the capacity-planning
+    readout."""
+    from omop2owl_vocab_spark.operators.timeseries import max_concurrency
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.lit(300_000_000)
+            ).alias("end_us"),
+        )
+    )
+    return max_concurrency(ev, ["user_id"], "start_us", "end_us")
+
+
+_Q_SWEEPLINE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events WHERE ts IS NOT NULL
+),
+pts AS (
+  SELECT user_id, s AS at, 1 AS delta FROM iv
+  UNION ALL
+  SELECT user_id, e AS at, -1 AS delta FROM iv
+),
+running AS (
+  SELECT user_id, at,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY at, delta
+                          ROWS UNBOUNDED PRECEDING) AS open
+  FROM pts
+),
+peaks AS (
+  SELECT user_id, CAST(max(open) AS BIGINT) AS peak
+  FROM running GROUP BY user_id
+)
+SELECT p.user_id, p.peak, min(r.at) AS peak_at
+FROM peaks p
+JOIN running r ON r.user_id = p.user_id AND r.open = p.peak
+GROUP BY p.user_id, p.peak
+"""
+
+
+def _q_cumulative_distinct(spark, sf_dir):
+    """Discovery curve (`operators/timeseries.py:cumulative_distinct`):
+    per event row, how many DISTINCT event types the user has produced
+    so far — first-occurrence flag (per-(user, type) row_number) plus a
+    running sum sharing the user partitioning; O(1) state per row, no
+    collect_set growth."""
+    from omop2owl_vocab_spark.operators.timeseries import (
+        cumulative_distinct,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    out = cumulative_distinct(
+        ev, ["user_id"], "event_type", ["ts_us", "event_id"]
+    )
+    return out.select("user_id", "event_id", "n_seen")
+
+
+_Q_CUMULATIVE_DISTINCT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN row_number() OVER
+                (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+              = 1 THEN 1 ELSE 0 END AS is_new
+  FROM ev
+)
+SELECT user_id, event_id,
+       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS n_seen
+FROM flagged
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4542,6 +4638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": _kg_walks,
         "pipe_negatives": _pipe_negatives,
         "q_rank_norm": _q_rank_norm,
+        "q_sweepline": _q_sweepline,
+        "q_cumulative_distinct": _q_cumulative_distinct,
         "q_transitions": _q_transitions,
         "pipe_pps": _pipe_pps,
         "dd_containment": _dd_containment,
@@ -4658,6 +4756,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": _KG_WALKS_SQL,
         "pipe_negatives": _PIPE_NEGATIVES_SQL,
         "q_rank_norm": _Q_RANK_NORM_SQL,
+        "q_sweepline": _Q_SWEEPLINE_SQL,
+        "q_cumulative_distinct": _Q_CUMULATIVE_DISTINCT_SQL,
         "kg_full_emission": _KG_FULL_EMISSION_SQL,
         "kg_concept_unpivot": _KG_CONCEPT_UNPIVOT_SQL,
         "kg_edges_resolve": _KG_EDGES_RESOLVE_SQL,

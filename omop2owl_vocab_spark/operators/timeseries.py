@@ -13,7 +13,7 @@ Engine-exactness: days are epoch-day integers
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,3 +100,94 @@ def rolling_daily(
         "key", "day", "n", "sum_w", "days_w",
         F.expr("(sum_w * 10000) div days_w").alias("avg_e4"),
     )
+
+
+def max_concurrency(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line peak concurrency per key: ``(keys..., peak,
+    peak_at)`` — the maximum number of [start, end) intervals open at
+    once, and the earliest instant the peak is reached.  The capacity
+    primitive (peak concurrent sessions per user, max simultaneous
+    builds per repo, connection-pool sizing).
+
+    Classic sweep: +1 at each start, -1 at each end, running sum over
+    the merged event stream ordered by (instant, delta) — ends sort
+    BEFORE starts at the same instant (delta -1 < +1), so touching
+    intervals [a,b) [b,c) never double-count.  One shuffle+sort per
+    key partition; the running sum and the peak argmax share it.
+    Intervals with NULL endpoints are dropped.
+    """
+    pts = (
+        df.filter(
+            F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(start_col).alias("at"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.col(end_col).alias("at"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("__ev"),
+        )
+        .select(*keys, "__ev.at", "__ev.delta")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("at", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = pts.select(
+        *keys, "at", F.sum("delta").over(w).alias("open")
+    )
+    return (
+        running.groupBy(*keys)
+        .agg(
+            F.max("open").cast("long").alias("peak"),
+            F.min_by("at", F.struct((-F.col("open")).alias("n"), F.col("at")))
+            .alias("peak_at"),
+        )
+    )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    seq_cols: list[str],
+    out_col: str = "n_seen",
+) -> DataFrame:
+    """Running count of DISTINCT items per key over an ordered stream:
+    one output row per input row, ``out_col`` = how many distinct
+    ``item_col`` values the key has produced up to and including this
+    row — the discovery/engagement curve (new vocabulary per user, new
+    files touched per repo over time).
+
+    Two windows on the same key partitioning: a per-(key, item)
+    row_number marks each item's FIRST occurrence, then a running sum
+    of those first-occurrence flags over (keys, seq order).  No
+    distinct-aggregate state, no collect_set growth — O(1) per row.
+    """
+    worder = [F.col(c) for c in seq_cols]
+    w_first = Window.partitionBy(*keys, item_col).orderBy(*worder)
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*worder)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "__new", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    return flagged.withColumn(
+        out_col, F.sum("__new").over(w_run)
+    ).drop("__new")
