@@ -4614,6 +4614,78 @@ FROM flagged
 """
 
 
+def _txt_trigram_lm(spark, sf_dir):
+    """Count-based trigram LM table (`operators/text.py:trigram_lm`):
+    conditional next-token counts over `documents` with exact-integer
+    P(w3 | w1 w2) in e4 fixed point, contexts totalled before the
+    min_count=3 prune — the KenLM-style statistic behind
+    perplexity-quality filtering."""
+    from omop2owl_vocab_spark.operators.text import trigram_lm
+
+    return trigram_lm(_t(spark, sf_dir, "documents"), min_count=3)
+
+
+_TXT_TRIGRAM_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> ''))) AS w,
+         generate_subscripts(list_filter(string_split_regex(trim(text),
+                                                            '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         w AS w3
+  FROM toks QUALIFY w1 IS NOT NULL
+),
+counts AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tri GROUP BY w1, w2, w3
+)
+SELECT w1, w2, w3, n,
+       CAST((n * 10000) // (SUM(n) OVER (PARTITION BY w1, w2)) AS BIGINT)
+         AS prob_e4
+FROM counts QUALIFY n >= 3
+"""
+
+
+def _kg_reciprocity(spark, sf_dir):
+    """Directed-edge mutuality (`operators/graph.py:reciprocity`) over
+    the shared customer-key graph: distinct directed edges grouped
+    under their unordered pair key — both-directions pairs have group
+    count 2 — no self-join, no skewable key (pair multiplicity is
+    bounded by 2 by construction)."""
+    from omop2owl_vocab_spark.operators.graph import reciprocity
+
+    return reciprocity(_custkey_edges(spark, sf_dir))
+
+
+_KG_RECIPROCITY_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+e AS (SELECT DISTINCT s AS src, t AS dst FROM raw WHERE s <> t),
+pairs AS (
+  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+         COUNT(*) AS dirs
+  FROM e GROUP BY lo, hi
+)
+SELECT CAST(COALESCE(SUM(dirs), 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(SUM(CASE WHEN dirs = 2 THEN 2 ELSE 0 END), 0)
+            AS BIGINT) AS n_reciprocal,
+       CAST(CASE WHEN COALESCE(SUM(dirs), 0) > 0
+                 THEN (SUM(CASE WHEN dirs = 2 THEN 2 ELSE 0 END) * 10000)
+                      // SUM(dirs)
+                 ELSE 0 END AS BIGINT) AS reciprocity_e4
+FROM pairs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4626,6 +4698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "txt_trigram_lm": _txt_trigram_lm,
+        "kg_reciprocity": _kg_reciprocity,
         "q_upsert": _q_upsert,
         "q_scd2": _q_scd2,
         "dd_prefix_join": _dd_prefix_join,
@@ -4744,6 +4818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "txt_trigram_lm": _TXT_TRIGRAM_LM_SQL,
+        "kg_reciprocity": _KG_RECIPROCITY_SQL,
         "q_upsert": _Q_UPSERT_SQL,
         "q_scd2": _Q_SCD2_SQL,
         "dd_prefix_join": _DD_PREFIX_JOIN_SQL,

@@ -728,3 +728,60 @@ def deterministic_walks(
             )
         )
     return walks.select("start", "path")
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed-edge mutuality: one row ``(n_edges, n_reciprocal,
+    reciprocity_e4)`` where ``n_edges`` counts DISTINCT directed edges
+    (self-loops dropped, duplicates collapsed), ``n_reciprocal`` counts
+    those whose reverse edge also exists, and ``reciprocity_e4`` is the
+    exact-integer ratio ``(n_reciprocal * 10000) div n_edges`` (0 on an
+    empty graph).  The classic directed-network health metric
+    (citation vs follow graphs; cross-reference symmetry in a concept
+    graph) — newman's r over the OMOP relationship graph tells you how
+    much of 'Maps to' is mirrored by 'Mapped from'.
+
+    Plan shape — no self-join: after the distinct, each edge is grouped
+    under its UNORDERED pair key ``(least(src,dst), greatest(src,dst))``
+    and a pair with BOTH directions present has group count 2, so
+    reciprocal edges = 2 × (pairs with count 2).  Two key-partitioned
+    hash-agg shuffles (distinct, pair-group) with map-side combine,
+    then a single global fold to one row — strictly cheaper than the
+    edge ⋈ reversed-edge semi-join at the same answer, and with no
+    skewed join key (the pair key's multiplicity is bounded by 2 by
+    construction, so hub nodes cannot create a hot partition).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pairs = e.groupBy(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+    ).agg(F.count("*").alias("dirs"))
+    return pairs.agg(
+        F.coalesce(F.sum("dirs"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(
+            F.sum(F.when(F.col("dirs") == 2, F.lit(2)).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_reciprocal"),
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        F.when(
+            F.col("n_edges") > 0,
+            F.expr("(n_reciprocal * 10000) div n_edges"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("reciprocity_e4"),
+    )

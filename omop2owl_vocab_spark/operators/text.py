@@ -834,3 +834,79 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def trigram_lm(
+    df: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conditional trigram counts — the classic count-based LM table
+    ``(w1, w2, w3, n, prob_e4)`` with ``prob_e4`` the maximum-likelihood
+    next-token probability P(w3 | w1 w2) in 4-decimal fixed point.  The
+    KenLM-style corpus statistic behind perplexity-based quality
+    filtering and contamination probes; case-folded, within-document
+    only (trigrams never span doc boundaries).
+
+    ``prob_e4`` is computed with exact integer division
+    ``(n * 10000) div c_ctx`` against the FULL context total (the sum
+    over all continuations of the context, taken before ``min_count``
+    pruning), so probabilities per context describe the true corpus
+    distribution and sum to ≤ 10000 regardless of pruning — and the
+    DuckDB oracle matches hash-exact with no float in sight.
+
+    Plan shape: one tokenize → trigram explosion via the zip_with
+    three-slice idiom (per-element ``element_at`` is the O(n²) trap —
+    see `repetition_flags`) → hash-agg on (w1, w2, w3) — map-side
+    partial absorbs the Zipf head — → a context-total window
+    (partitionBy (w1, w2), no ordering = single-pass whole-partition
+    sum) over the AGGREGATED type table, which is vocabulary-sized
+    (Heaps-sublinear), not occurrence-sized.  Two key-partitioned
+    shuffles total, both linear; no join, no global sort.
+    """
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = df.select(
+        F.transform(_tokens(F.col(text_col)), lambda t: F.lower(t)).alias(
+            "__t"
+        )
+    )
+    tri = toks.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 3,
+                F.zip_with(
+                    F.slice("__t", 1, F.size("__t") - 2),
+                    F.zip_with(
+                        F.slice("__t", 2, F.size("__t") - 2),
+                        F.slice("__t", 3, F.size("__t") - 2),
+                        lambda b, c: F.struct(
+                            b.alias("w2"), c.alias("w3")
+                        ),
+                    ),
+                    lambda a, bc: F.struct(
+                        a.alias("w1"),
+                        bc["w2"].alias("w2"),
+                        bc["w3"].alias("w3"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<w1:string,w2:string,w3:string>>"
+                )
+            )
+        ).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3")
+    counts = tri.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ctx = Window.partitionBy("w1", "w2")
+    return (
+        counts.withColumn("__c_ctx", F.sum("n").over(ctx))
+        .withColumn("prob_e4", F.expr("(n * 10000) div __c_ctx"))
+        .filter(F.col("n") >= min_count)
+        .select("w1", "w2", "w3", "n", "prob_e4")
+    )
