@@ -4686,6 +4686,130 @@ FROM pairs
 """
 
 
+def _kg_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient
+    (`operators/graph.py:clustering_coefficient`): degree-oriented
+    wedge join (O(√m) fan-out cap, same scheme as kg_triangles) whose
+    closed wedge credits all three vertices, then
+    `(2·n_tri·10000) div (deg·(deg-1))` in exact e4 fixed point —
+    the Watts–Strogatz metric over the shared customer-key graph."""
+    from omop2owl_vocab_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_custkey_edges(spark, sf_dir))
+
+
+_KG_CLUSTERING_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM raw WHERE s <> t
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+tri AS (
+  SELECT x.node AS node, COUNT(*) AS t
+  FROM adj x
+  JOIN adj y ON y.node = x.node AND x.nbr < y.nbr
+  JOIN und e ON e.a = x.nbr AND e.b = y.nbr
+  GROUP BY x.node
+)
+SELECT deg.node AS node,
+       CAST(d AS BIGINT) AS deg,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN d >= 2
+                 THEN (2 * COALESCE(t, 0) * 10000) // (d * (d - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_e4
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+"""
+
+
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B
+_HLL_WBITS = 60 - _HLL_B
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_WBITS)
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog (`operators/sketch.py:hll_registers` +
+    `hll_estimate`): per-priority distinct-customer estimate from
+    2^8 plain-long registers over the shared 60-bit md5 hash family —
+    ρ from the sub-hash's BINARY-STRING length (no libm log2), the raw
+    α·m²/Σ2^(−ρ) estimator as one IEEE double division, exact
+    distinct joined alongside for the error story.  Registers merge
+    by per-bucket max — the KMV sketch's mergeable-state twin at
+    O(2^b) state per group regardless of cardinality."""
+    from omop2owl_vocab_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.col("o_custkey").cast("string").alias("v"),
+    )
+    est = hll_estimate(
+        hll_registers(orders, ["o_orderpriority"], "v", b=_HLL_B),
+        ["o_orderpriority"],
+        b=_HLL_B,
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("v").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority")
+
+
+_Q_HLL_DISTINCT_SQL = rf"""
+WITH hashed AS (
+  SELECT o_orderpriority,
+         list_reduce(
+           list_transform(
+             string_split(substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15),
+                          ''),
+             c -> CAST(strpos('123456789abcdef', c) AS BIGINT)),
+           (a, b) -> a * 16 + b) AS h
+  FROM orders
+),
+rho AS (
+  SELECT o_orderpriority,
+         h % {_HLL_M} AS bucket,
+         CASE WHEN h // {_HLL_M} > 0
+              THEN {_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))
+              ELSE {_HLL_WBITS + 1} END AS r
+  FROM hashed
+),
+regs AS (
+  SELECT o_orderpriority, bucket, MAX(r) AS max_rho
+  FROM rho GROUP BY o_orderpriority, bucket
+),
+folded AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(1::BIGINT << ({_HLL_WBITS} - max_rho))
+              + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_WBITS})
+              AS BIGINT) AS sum_pow
+  FROM regs GROUP BY o_orderpriority
+),
+exact AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT folded.o_orderpriority, folded.n_buckets, folded.sum_pow,
+       CAST(floor({_HLL_NUMER!r} / CAST(folded.sum_pow AS DOUBLE)
+                  * 10000 + 0.5) AS BIGINT) AS est_e4,
+       exact.exact_distinct
+FROM folded JOIN exact USING (o_orderpriority)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness truncates at the
     # first 50 entries (observed r4), so the newest / least-proven
@@ -4698,6 +4822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_hll_distinct": _q_hll_distinct,
+        "kg_clustering": _kg_clustering,
         "txt_trigram_lm": _txt_trigram_lm,
         "kg_reciprocity": _kg_reciprocity,
         "q_upsert": _q_upsert,
@@ -4818,6 +4944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_hll_distinct": _Q_HLL_DISTINCT_SQL,
+        "kg_clustering": _KG_CLUSTERING_SQL,
         "txt_trigram_lm": _TXT_TRIGRAM_LM_SQL,
         "kg_reciprocity": _KG_RECIPROCITY_SQL,
         "q_upsert": _Q_UPSERT_SQL,

@@ -785,3 +785,104 @@ def reciprocity(
         .cast("long")
         .alias("reciprocity_e4"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient over the UNDIRECTED simple
+    graph induced by the edge list: ``(node, deg, n_tri, lcc_e4)`` with
+    ``n_tri`` the EXACT number of triangles through each node and
+    ``lcc_e4 = (2·n_tri·10000) div (deg·(deg-1))`` in 4-decimal fixed
+    point (0 for degree < 2).  The Watts–Strogatz local metric — how
+    clique-like each node's neighborhood is — used for community
+    seeding, spam/link-farm detection, and role typing next to the
+    global `triangle_count`.
+
+    Same degree-orientation scheme as `triangle_count` (each triangle
+    materializes as ONE wedge at its lowest-(degree, node) vertex, so
+    out-fan-out is O(√m) on any graph and power-law hubs cannot explode
+    the wedge join) — but the closed wedge ``(u, p, q)`` here credits
+    all THREE vertices via a 3-array explode before the per-node
+    hash-agg, turning the global count into the per-node vector at the
+    same join cost.  All equi-joins on node keys, map-side partial aggs
+    throughout; no float anywhere, so the DuckDB oracle matches
+    hash-exact.
+    """
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"),
+        F.struct("deg", F.col("node").alias("nn")).alias("ka"),
+    )
+    db = deg.select(
+        F.col("node").alias("b"),
+        F.struct("deg", F.col("node").alias("nn")).alias("kb"),
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    closed = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.v") < F.col("y.v"))
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("x.v").alias("p"),
+            F.col("y.v").alias("q"),
+        )
+        .join(
+            und.select(F.col("a").alias("p"), F.col("b").alias("q")),
+            ["p", "q"],
+            "inner",
+        )
+    )
+    tri = (
+        closed.select(
+            F.explode(F.array("u", "p", "q")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .na.fill({"n_tri": 0})
+        .select(
+            "node",
+            "deg",
+            "n_tri",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(2 * n_tri * 10000) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_e4"),
+        )
+    )

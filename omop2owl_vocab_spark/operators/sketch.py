@@ -99,3 +99,110 @@ def kmv_distinct(
     return agg.select(
         *group_cols, "n_kept", "kth_hash", est.alias("distinct_e4")
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog register table over the same portable
+    60-bit md5 hash family as `kmv_distinct`: ``(group_cols...,
+    bucket, max_rho)`` with ``bucket`` the low ``b`` hash bits and
+    ``max_rho`` the maximum leading-zero rank (Flajolet's ρ) of the
+    remaining ``60-b`` bits — only NON-EMPTY buckets appear, so state
+    is ≤ 2^b rows per group no matter the cardinality.
+
+    Unlike Spark's built-in ``approx_count_distinct`` (HLL++ with
+    engine-private binary registers), every column here is a plain
+    long any SQL engine reproduces bit-for-bit: ρ is derived from the
+    BINARY-STRING LENGTH of the sub-hash (``conv(w, 10, 2)`` /
+    DuckDB ``bin(w)``) — pure integer + string ops, no float log2
+    whose libm rounding could differ across engines.  Two register
+    tables merge by ``max(max_rho)`` per ``(group, bucket)`` — the
+    shard-parallel / streaming merge story, same as KMV's
+    union-keep-k.
+
+    Plan shape: one projection (hash, bucket, ρ) → one hash-agg with
+    map-side partial max — a single key-partitioned shuffle carrying
+    at most ``groups · 2^b`` rows out of the map side.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    m = 1 << b
+    wbits = 60 - b
+    hashed = df.select(
+        *[F.col(c) for c in group_cols],
+        kmv_hash(F.col(value_col)).alias("__h"),
+    )
+    proj = hashed.select(
+        *group_cols,
+        (F.col("__h") % m).cast("long").alias("bucket"),
+        F.expr(f"__h div {m}").alias("__w"),
+    ).select(
+        *group_cols,
+        "bucket",
+        F.when(
+            F.col("__w") > 0,
+            F.lit(wbits + 1)
+            - F.length(F.conv(F.col("__w").cast("string"), 10, 2)),
+        )
+        .otherwise(F.lit(wbits + 1))
+        .cast("long")
+        .alias("__rho"),
+    )
+    return proj.groupBy(*group_cols, "bucket").agg(
+        F.max("__rho").cast("long").alias("max_rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """Fold a `hll_registers` table to one row per group:
+    ``(group_cols..., n_buckets, sum_pow, est_e4)``.
+
+    ``sum_pow`` is the EXACT integer harmonic denominator scaled by
+    2^(60-b): Σ over all 2^b registers of 2^(60-b-ρ), empty registers
+    contributing ρ=0 terms — each term and the 2^b-term sum fit a long
+    comfortably (≤ 2^(60-b) · 2^b = 2^60).  ``est_e4`` is the raw HLL
+    estimate α_m·m²/Σ2^(−ρ) in 4-decimal fixed point, computed as ONE
+    IEEE-754 double division of a plan-time constant by ``sum_pow`` —
+    the same portability argument as `kmv_distinct`'s estimator, so the
+    DuckDB oracle reproduces it hash-exact.  (Raw estimator only: the
+    small-range linear-counting correction needs ln(), whose libm
+    rounding is NOT engine-portable — callers with tiny groups should
+    use `kmv_distinct`'s exact path instead.)
+    """
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    m = 1 << b
+    wbits = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << wbits)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {wbits} - max_rho)")
+        )
+        .cast("long")
+        .alias("__present_pow"),
+    )
+    sum_pow = F.col("__present_pow") + (
+        (F.lit(m) - F.col("n_buckets")) * F.lit(1 << wbits)
+    )
+    return agg.select(
+        *group_cols,
+        "n_buckets",
+        sum_pow.cast("long").alias("sum_pow"),
+        F.floor(
+            F.lit(numer) / sum_pow.cast("double") * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("est_e4"),
+    )
