@@ -4730,6 +4730,106 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _txt_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (`operators/text.py:url_dedup`) over
+    documents with planted messy URLs: doc_id%4 carries an
+    uppercase-host / default-port / trailing-slash / fragment /
+    tracking-param / shuffled-param variant, doc_id%8 the SAME URL
+    already clean (must collapse), doc_id%6 an http://:80 mirror.
+    The oracle states each plant's canonical form closed-form from
+    doc_id — Spark must actually parse and normalize the messy text
+    to reach it, so every rule is ground-truth-checked."""
+    from omop2owl_vocab_spark.operators.text import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        _plant(
+            did % 4 == 0,
+            F.lit(" see https://EX"),
+            (did % 7).cast("string"),
+            F.lit(".Example.COM:443/p/?utm_source=x&b=2&a=1#frag ok"),
+        ),
+        _plant(
+            did % 8 == 0,
+            F.lit(" ref https://ex"),
+            (did % 7).cast("string"),
+            F.lit(".example.com/p?a=1&b=2 done"),
+        ),
+        _plant(did % 6 == 0, F.lit(" via http://Mirror.NET:80/q end")),
+    )
+    return url_dedup(docs.select("doc_id", aug.alias("text")))
+
+
+_TXT_URL_DEDUP_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         'https://ex' || (doc_id % 7) || '.example.com/p?a=1&b=2' AS url
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id,
+         'https://ex' || (doc_id % 7) || '.example.com/p?a=1&b=2'
+  FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT doc_id, 'http://mirror.net/q'
+  FROM documents WHERE doc_id % 6 = 0
+)
+SELECT url,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM urls GROUP BY url
+"""
+
+
+def _kg_link_pred(spark, sf_dir):
+    """Common-neighbor link prediction
+    (`operators/graph.py:link_prediction`) over the shared customer-key
+    graph: top-200 NON-adjacent pairs by shared-neighbor count with
+    integer preferential-attachment then node-pair tie-breaks (a total
+    order — no float score), planned as adjacency self-join + anti-join
+    on the edge set + TakeOrderedAndProject."""
+    from omop2owl_vocab_spark.operators.graph import link_prediction
+
+    return link_prediction(_custkey_edges(spark, sf_dir), top_k=200)
+
+
+_KG_LINK_PRED_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+e AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM raw WHERE s <> t
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b, a FROM e
+),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+cn AS (
+  SELECT x.node AS node_a, y.node AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS cn
+  FROM adj x JOIN adj y ON y.nbr = x.nbr AND x.node < y.node
+  GROUP BY x.node, y.node
+),
+cand AS (
+  SELECT cn.node_a, cn.node_b, cn.cn
+  FROM cn ANTI JOIN e ON e.a = cn.node_a AND e.b = cn.node_b
+)
+SELECT cand.node_a, cand.node_b, cand.cn,
+       CAST(da.d * db.d AS BIGINT) AS pa
+FROM cand
+JOIN deg da ON da.node = cand.node_a
+JOIN deg db ON db.node = cand.node_b
+ORDER BY cand.cn DESC, pa DESC, cand.node_a, cand.node_b
+LIMIT 200
+"""
+
+
 _HLL_B = 8
 _HLL_M = 1 << _HLL_B
 _HLL_WBITS = 60 - _HLL_B
@@ -4822,6 +4922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "txt_url_dedup": _txt_url_dedup,
+        "kg_link_pred": _kg_link_pred,
         "q_hll_distinct": _q_hll_distinct,
         "kg_clustering": _kg_clustering,
         "txt_trigram_lm": _txt_trigram_lm,
@@ -4944,6 +5046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "txt_url_dedup": _TXT_URL_DEDUP_SQL,
+        "kg_link_pred": _KG_LINK_PRED_SQL,
         "q_hll_distinct": _Q_HLL_DISTINCT_SQL,
         "kg_clustering": _KG_CLUSTERING_SQL,
         "txt_trigram_lm": _TXT_TRIGRAM_LM_SQL,

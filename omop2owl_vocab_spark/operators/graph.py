@@ -886,3 +886,81 @@ def clustering_coefficient(
             .alias("lcc_e4"),
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    top_k: int = 100,
+    min_common: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Topological link prediction over the UNDIRECTED simple graph:
+    the ``top_k`` NON-ADJACENT node pairs ranked by common-neighbor
+    count — ``(node_a, node_b, cn, pa)`` with ``cn`` = |N(a) ∩ N(b)|
+    and ``pa`` = deg(a)·deg(b) (preferential attachment) as the
+    integer tie-breaker, final ties broken by the node pair itself so
+    the ranking is a TOTAL order and the result is engine-portable
+    without any float score.  The classic missing-edge suggester
+    (knowledge-graph completion: concepts sharing many relationship
+    partners but no direct mapping; co-review / co-purchase
+    recommendation).
+
+    Plan shape: adjacency self-join on the shared-NEIGHBOR key (only
+    pairs that share a neighbor ever materialize — same sum(deg²)
+    bound and hub hazard as `neighbor_jaccard`; cap hubs upstream via
+    `k_core` or a degree filter), one hash-agg to ``cn``, a LEFT ANTI
+    hash join against the existing edge set (the "non-adjacent"
+    filter), two broadcast-sized degree joins, then
+    ``orderBy(...).limit(top_k)`` which Spark plans as
+    TakeOrderedAndProject — per-partition heaps + one O(top_k) merge,
+    never a global sort.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    adj = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    cn = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.nbr") == F.col("b.nbr"))
+        .filter(F.col("a.node") < F.col("b.node"))
+        .groupBy(
+            F.col("a.node").alias("node_a"), F.col("b.node").alias("node_b")
+        )
+        .agg(F.count("*").cast("long").alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    und = adj.filter(F.col("node") < F.col("nbr")).select(
+        F.col("node").alias("node_a"), F.col("nbr").alias("node_b")
+    )
+    candidates = cn.join(und, ["node_a", "node_b"], "left_anti")
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("__db"))
+    return (
+        candidates.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "cn",
+            (F.col("__da") * F.col("__db")).cast("long").alias("pa"),
+        )
+        .orderBy(
+            F.col("cn").desc(),
+            F.col("pa").desc(),
+            F.col("node_a").asc(),
+            F.col("node_b").asc(),
+        )
+        .limit(top_k)
+    )

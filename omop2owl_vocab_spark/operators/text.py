@@ -910,3 +910,107 @@ def trigram_lm(
         .filter(F.col("n") >= min_count)
         .select("w1", "w2", "w3", "n", "prob_e4")
     )
+
+
+FULL_URL_RE = r"https?://[^\s]+"
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def url_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL deduplication — the crawl-frontier / CCNet-style
+    URL key: extract every ``https?://`` URL, normalize each to its
+    canonical form, and aggregate to ``(url, n_urls, n_docs,
+    first_doc)`` per canonical URL (occurrences, distinct documents,
+    min doc id as the deterministic canonical owner).
+
+    Canonicalization (all pure JVM string/regex/array expressions —
+    no UDF, each rule mirrored 1:1 in the DuckDB oracle):
+      host lowercased · fragment stripped · default port dropped
+      (``:80`` for http, ``:443`` for https) · trailing path slashes
+      stripped · tracking params removed (``utm_*``, ``fbclid``,
+      ``gclid``, ``ref``) · remaining query params sorted
+      byte-lexicographically and rejoined.  Scheme is taken from the
+      extractor (lowercase by construction); path/query VALUE case is
+      preserved (case-significant on real servers).
+
+    Plan shape: one ``regexp_extract_all`` + explode → a chain of
+    per-row projections (single codegen stage, linear in extracted
+    URLs) → one hash-agg on the canonical key with map-side combine.
+    The Zipf head (one URL quoted everywhere) lands on the aggregate,
+    which partial-aggregates before the shuffle — no join anywhere.
+    """
+    urls = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(FULL_URL_RE), 0
+            )
+        ).alias("u"),
+    )
+    staged = (
+        urls.withColumn(
+            "scheme", F.regexp_extract("u", r"^(https?)://", 1)
+        )
+        .withColumn("rest", F.regexp_replace("u", r"^https?://", ""))
+        .withColumn("hostport", F.regexp_extract("rest", r"^([^/?#]+)", 1))
+        .withColumn(
+            "tail",
+            F.expr("substring(rest, length(hostport) + 1)"),
+        )
+        .withColumn("pq", F.regexp_replace("tail", r"#.*$", ""))
+        .withColumn(
+            "host",
+            F.when(
+                F.col("scheme") == "http",
+                F.regexp_replace(F.lower("hostport"), r":80$", ""),
+            ).otherwise(
+                F.regexp_replace(F.lower("hostport"), r":443$", "")
+            ),
+        )
+        .withColumn(
+            "path",
+            F.regexp_replace(
+                F.regexp_extract("pq", r"^([^?]*)", 1), r"/+$", ""
+            ),
+        )
+        .withColumn(
+            "qraw",
+            F.when(
+                F.instr("pq", "?") > 0,
+                F.expr("substring(pq, instr(pq, '?') + 1)"),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "qcanon",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split("qraw", "&"),
+                        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+                    )
+                ),
+                "&",
+            ),
+        )
+    )
+    canon = staged.select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(
+                F.col("qcanon") != "", F.concat(F.lit("?"), F.col("qcanon"))
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return canon.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
