@@ -4730,6 +4730,221 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _q_assoc_rules(spark, sf_dir):
+    """Directed association rules (`operators/graph.py:
+    association_rules`) over the lineitem order→part baskets: both
+    rule directions per co-purchased pair with exact-integer
+    confidence and lift in e4 fixed point (every product through
+    decimal(38)/HUGEINT) — the mining layer above kg_copurchase."""
+    from omop2owl_vocab_spark.operators.graph import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_count=2,
+    )
+
+
+_Q_ASSOC_RULES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+support AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY item
+),
+nb AS (
+  SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON b.basket = a.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 2
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_both FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.n_both,
+       sa.n_item AS n_ante, sc.n_item AS n_cons, nb.n_baskets,
+       CAST((CAST(d.n_both AS HUGEINT) * 10000) // sa.n_item AS BIGINT)
+         AS conf_e4,
+       CAST((CAST(d.n_both AS HUGEINT) * nb.n_baskets * 10000)
+            // (CAST(sa.n_item AS HUGEINT) * sc.n_item) AS BIGINT)
+         AS lift_e4
+FROM directed d
+JOIN support sa ON sa.item = d.antecedent
+JOIN support sc ON sc.item = d.consequent
+CROSS JOIN nb
+"""
+
+
+def _kg_modularity(spark, sf_dir):
+    """Newman modularity decomposition (`operators/graph.py:
+    modularity`) of a closed-form node%7 bucketing of the customer-key
+    graph — per-community exact integer numerators (4·m·in_c −
+    tot_c²; the division never happens engine-side, so negative-value
+    div semantics can't diverge), the partition-quality layer for any
+    labeling the other kg_* operators produce."""
+    from omop2owl_vocab_spark.operators.graph import modularity
+
+    edges = _custkey_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") % 7).alias("label"))
+    )
+    return modularity(edges, labels)
+
+
+_KG_MODULARITY_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM raw WHERE s <> t
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+lab AS (
+  SELECT node, node % 7 AS label FROM (
+    SELECT DISTINCT node FROM (
+      SELECT s AS node FROM raw UNION ALL SELECT t FROM raw
+    )
+  )
+),
+in_c AS (
+  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS in_edges
+  FROM und
+  JOIN lab la ON la.node = und.a
+  JOIN lab lb ON lb.node = und.b
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+tot_c AS (
+  SELECT lab.label,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(deg.deg), 0) AS BIGINT) AS tot_deg
+  FROM lab LEFT JOIN deg ON deg.node = lab.node
+  GROUP BY lab.label
+)
+SELECT tot_c.label, tot_c.n_nodes,
+       CAST(COALESCE(in_c.in_edges, 0) AS BIGINT) AS in_edges,
+       tot_c.tot_deg, m.m,
+       CAST(4 * CAST(m.m AS HUGEINT) * COALESCE(in_c.in_edges, 0)
+            - CAST(tot_c.tot_deg AS HUGEINT) * tot_c.tot_deg
+            AS BIGINT) AS contrib_num
+FROM tot_c LEFT JOIN in_c ON in_c.label = tot_c.label
+CROSS JOIN m
+"""
+
+
+def _kg_hits(spark, sf_dir):
+    """Integer HITS (`operators/graph.py:hits_fixed`, 2 rounds) over
+    the DIRECTED customer-key graph: hubs/authorities as 10^9-scaled
+    longs, L∞ normalization through decimal(38) so the recurrence is
+    exact at any in-degree, oracle-unrolled round by round in DuckDB
+    via HUGEINT — the mutual-reinforcement twin of kg_pagerank."""
+    from omop2owl_vocab_spark.operators.graph import hits_fixed
+
+    return hits_fixed(_custkey_edges(spark, sf_dir), iterations=2)
+
+
+_KG_HITS_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+e AS (SELECT DISTINCT s AS src, t AS dst FROM raw WHERE s <> t),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+a1s AS (
+  SELECT e.dst AS node, SUM(h0.h) AS a
+  FROM h0 JOIN e ON e.src = h0.node GROUP BY e.dst
+),
+a1f AS (
+  SELECT n.node, COALESCE(a1s.a, 0) AS a
+  FROM nodes n LEFT JOIN a1s ON a1s.node = n.node
+),
+a1 AS (
+  SELECT node,
+         CASE WHEN (SELECT MAX(a) FROM a1f) > 0
+              THEN CAST((CAST(a AS HUGEINT) * 1000000000)
+                        // (SELECT MAX(a) FROM a1f) AS BIGINT)
+              ELSE 0 END AS a
+  FROM a1f
+),
+h1s AS (
+  SELECT e.src AS node, SUM(a1.a) AS h
+  FROM a1 JOIN e ON e.dst = a1.node GROUP BY e.src
+),
+h1f AS (
+  SELECT n.node, COALESCE(h1s.h, 0) AS h
+  FROM nodes n LEFT JOIN h1s ON h1s.node = n.node
+),
+h1 AS (
+  SELECT node,
+         CASE WHEN (SELECT MAX(h) FROM h1f) > 0
+              THEN CAST((CAST(h AS HUGEINT) * 1000000000)
+                        // (SELECT MAX(h) FROM h1f) AS BIGINT)
+              ELSE 0 END AS h
+  FROM h1f
+),
+a2s AS (
+  SELECT e.dst AS node, SUM(h1.h) AS a
+  FROM h1 JOIN e ON e.src = h1.node GROUP BY e.dst
+),
+a2f AS (
+  SELECT n.node, COALESCE(a2s.a, 0) AS a
+  FROM nodes n LEFT JOIN a2s ON a2s.node = n.node
+),
+a2 AS (
+  SELECT node,
+         CASE WHEN (SELECT MAX(a) FROM a2f) > 0
+              THEN CAST((CAST(a AS HUGEINT) * 1000000000)
+                        // (SELECT MAX(a) FROM a2f) AS BIGINT)
+              ELSE 0 END AS a
+  FROM a2f
+),
+h2s AS (
+  SELECT e.src AS node, SUM(a2.a) AS h
+  FROM a2 JOIN e ON e.dst = a2.node GROUP BY e.src
+),
+h2f AS (
+  SELECT n.node, COALESCE(h2s.h, 0) AS h
+  FROM nodes n LEFT JOIN h2s ON h2s.node = n.node
+),
+h2 AS (
+  SELECT node,
+         CASE WHEN (SELECT MAX(h) FROM h2f) > 0
+              THEN CAST((CAST(h AS HUGEINT) * 1000000000)
+                        // (SELECT MAX(h) FROM h2f) AS BIGINT)
+              ELSE 0 END AS h
+  FROM h2f
+)
+SELECT h2.node, CAST(h2.h AS BIGINT) AS hub_e9,
+       CAST(a2.a AS BIGINT) AS auth_e9
+FROM h2 JOIN a2 ON a2.node = h2.node
+"""
+
+
 def _txt_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (`operators/text.py:url_dedup`) over
     documents with planted messy URLs: doc_id%4 carries an
@@ -4922,6 +5137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_assoc_rules": _q_assoc_rules,
+        "kg_modularity": _kg_modularity,
+        "kg_hits": _kg_hits,
         "txt_url_dedup": _txt_url_dedup,
         "kg_link_pred": _kg_link_pred,
         "q_hll_distinct": _q_hll_distinct,
@@ -5046,6 +5264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_assoc_rules": _Q_ASSOC_RULES_SQL,
+        "kg_modularity": _KG_MODULARITY_SQL,
+        "kg_hits": _KG_HITS_SQL,
         "txt_url_dedup": _TXT_URL_DEDUP_SQL,
         "kg_link_pred": _KG_LINK_PRED_SQL,
         "q_hll_distinct": _Q_HLL_DISTINCT_SQL,

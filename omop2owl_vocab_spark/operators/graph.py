@@ -964,3 +964,295 @@ def link_prediction(
         )
         .limit(top_k)
     )
+
+
+def hits_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Kleinberg HITS in pure integer arithmetic: ``(node, hub_e9,
+    auth_e9)`` after exactly ``iterations`` mutual-reinforcement rounds
+    over the DEDUPLICATED directed edge set (self-loops dropped) — the
+    bipartite-centrality twin of `pagerank_fixed` (good hubs point at
+    good authorities; directories vs sources, index pages vs content,
+    'Maps to'-rich concepts vs mapped-to canonicals).
+
+    Determinism is the design center, as in `pagerank_fixed`: scores
+    are 10^9-scaled longs, each round is
+
+        auth'(v) = Σ_{u→v} hub(u)      then L∞-normalize
+        hub'(u)  = Σ_{u→v} auth'(v)    then L∞-normalize
+
+    with L∞ normalization ``x' = (x · 10^9) div max(x)`` — the max
+    norm, NOT the textbook L2, precisely because sqrt forces floats
+    whose libm rounding is engine-specific; under any norm HITS
+    converges to the same principal-eigenvector DIRECTION, and with a
+    fixed round budget the integer recurrence is bit-identical in any
+    engine (the DuckDB oracle unrolls it).  The top hub/authority
+    always reads exactly 10^9.
+
+    Plan shape per round: two hash equi-joins (scores ⋈ edges) + two
+    key-partitioned sum aggregates + two single-row max folds that
+    Spark broadcasts back — all AQE-friendly, with ``localCheckpoint``
+    truncating lineage per round.  In-degree skew lands on the sums'
+    map-side partial aggregation, same story as PageRank.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.agg(F.max(col).alias("__mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "node",
+            # the multiply rides 128-bit decimal: raw sums reach
+            # in_degree·10^9, so a long×10^9 would overflow past
+            # in-degree ~9 — decimal(38) keeps the recurrence exact at
+            # any degree (DuckDB mirrors via HUGEINT)
+            F.when(
+                F.col("__mx") > 0,
+                F.expr(
+                    f"CAST((CAST({col} AS DECIMAL(38,0)) * {_SCALE})"
+                    f" div __mx AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(col),
+        )
+
+    hub = nodes.select(
+        "node", F.lit(_SCALE).cast("long").alias("hub_e9")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iterations):
+        a_sum = (
+            hub.join(e, hub["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_e9").alias("auth_e9"))
+        )
+        auth = _norm(
+            nodes.join(a_sum, "node", "left").select(
+                "node",
+                F.coalesce(F.col("auth_e9"), F.lit(0)).alias("auth_e9"),
+            ),
+            "auth_e9",
+        ).localCheckpoint(eager=True)
+        h_sum = (
+            auth.join(e, auth["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_e9").alias("hub_e9"))
+        )
+        hub = _norm(
+            nodes.join(h_sum, "node", "left").select(
+                "node",
+                F.coalesce(F.col("hub_e9"), F.lit(0)).alias("hub_e9"),
+            ),
+            "hub_e9",
+        ).localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub_e9", "auth_e9")
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Directed association rules over a transaction table — the
+    confidence/lift layer on top of `cooccurrence_pairs`: for every
+    co-occurring item pair, BOTH directed rules ``antecedent →
+    consequent`` as ``(antecedent, consequent, n_both, n_ante, n_cons,
+    n_baskets, conf_e4, lift_e4)`` with
+
+        conf_e4 = (n_both · 10000) div n_ante
+        lift_e4 = (n_both · n_baskets · 10000) div (n_ante · n_cons)
+
+    — exact integer 4-decimal fixed point (10000 = independence for
+    lift), every product routed through decimal(38)/HUGEINT so no
+    intermediate overflows at any corpus size.  The classic
+    market-basket mining surface (co-prescribed codes, co-imported
+    modules, also-bought parts).
+
+    Plan shape: one distinct (basket, item) hash-agg shared by ALL
+    downstream counts → per-item support (hash-agg) + one-row basket
+    count (broadcast back via crossJoin) + the basket-keyed pair
+    self-join from `cooccurrence_pairs`' shape (``item_a < item_b``
+    then unioned both ways — each unordered pair joined once, emitted
+    twice) → two broadcast-friendly support joins.  Same Σ|b|² pair
+    fan-out bound and the same ``max_basket_size`` degenerate-basket
+    escape hatch.
+    """
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    items = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if max_basket_size is not None:
+        sizes = items.groupBy("basket").agg(F.count("*").alias("__bs"))
+        items = (
+            items.join(
+                sizes.filter(F.col("__bs") <= max_basket_size), "basket"
+            )
+            .select("basket", "item")
+            .localCheckpoint(eager=True)
+        )
+    support = items.groupBy("item").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    n_baskets = items.select("basket").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), F.col("a.basket") == F.col("b.basket"))
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_count)
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    sa = support.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    sc = support.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    return (
+        directed.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            "n_baskets",
+            F.expr(
+                "CAST((CAST(n_both AS DECIMAL(38,0)) * 10000)"
+                " div n_ante AS BIGINT)"
+            ).alias("conf_e4"),
+            F.expr(
+                "CAST((CAST(n_both AS DECIMAL(38,0)) * n_baskets * 10000)"
+                " div (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
+            ).alias("lift_e4"),
+        )
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity decomposition of a node labeling over the
+    UNDIRECTED simple graph: one row per community ``(label, n_nodes,
+    in_edges, tot_deg, m, contrib_num)`` where ``in_edges`` counts
+    edges with both endpoints in the community, ``tot_deg`` sums member
+    degrees, ``m`` is the global edge count, and
+
+        contrib_num = 4·m·in_edges − tot_deg²
+
+    is the community's EXACT integer modularity numerator —
+    Q = Σ contrib_num / (4m²), so callers fold the frame to global Q
+    without this operator ever performing the (sign-sensitive,
+    engine-divergent for negatives) division.  The partition-quality
+    metric for any labeling: connected components, label propagation,
+    LSH dedup groups, or a plain hash bucketing as the null baseline.
+
+    Plan shape: distinct-undirected edge agg → two label joins on the
+    endpoints (broadcast when the label map is small) → one hash-agg
+    per community for ``in_edges`` and one for ``tot_deg`` via the
+    degree table, then an outer merge on label (a community may have
+    no internal edge, or consist of isolated labeled nodes).  The
+    product rides decimal(38); outputs are longs, exact while
+    4·m·in_c and tot_c² stay under 2^63 (m beyond ~2.3·10^18 internal
+    edges per community is past any real graph).
+    """
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m_row = und.agg(F.count("*").cast("long").alias("m"))
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    labeled = und.join(la, "a").join(lb, "b")
+    in_c = (
+        labeled.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("in_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tot_c = (
+        lab.join(deg, "node", "left")
+        .na.fill({"deg": 0})
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("tot_deg"),
+        )
+    )
+    return (
+        tot_c.join(in_c, "label", "full_outer")
+        .na.fill({"in_edges": 0, "n_nodes": 0, "tot_deg": 0})
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            "n_nodes",
+            "in_edges",
+            "tot_deg",
+            "m",
+            F.expr(
+                "CAST(4 * CAST(m AS DECIMAL(38,0)) * in_edges"
+                " - CAST(tot_deg AS DECIMAL(38,0)) * tot_deg AS BIGINT)"
+            ).alias("contrib_num"),
+        )
+    )
