@@ -4730,6 +4730,140 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _q_interval_merge(spark, sf_dir):
+    """Interval-union coalescing (`operators/timeseries.py:
+    interval_merge`): per-user [start, end) event intervals (duration
+    planted closed-form from event_id, 2–26 min) merged into maximal
+    islands with span, member count, and covered time — one sort per
+    user shared by both window passes, running-max island detection
+    (not lag — nested intervals can't split an island)."""
+    from omop2owl_vocab_spark.operators.timeseries import interval_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + ((F.col("event_id") % 13) + 1) * F.lit(120_000_000)
+        ).alias("e"),
+    )
+    return interval_merge(ev, ["user_id"], "s", "e")
+
+
+_Q_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + ((event_id % 13) + 1) * 120000000 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       MIN(s) AS start, MAX(e) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS covered
+FROM islands GROUP BY user_id, island
+"""
+
+
+def _q_rolling_median(spark, sf_dir):
+    """Exact trailing-7 median (`operators/timeseries.py:
+    rolling_median`) of integer-cent event values per user ordered by
+    event_id: the LOWER median is an actual data value (collect_list
+    frame + array_sort + element_at — constant O(w) state per row),
+    never an interpolated float, so the DuckDB list-window oracle
+    matches hash-exact."""
+    from omop2owl_vocab_spark.operators.timeseries import rolling_median
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return rolling_median(
+        ev, ["user_id"], "event_id", "cents", window_rows=7
+    )
+
+
+_Q_ROLLING_MEDIAN_SQL = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+win AS (
+  SELECT user_id, event_id, cents,
+         list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW)) AS w
+  FROM base
+)
+SELECT user_id, event_id, cents,
+       w[CAST((len(w) + 1) // 2 AS INTEGER)] AS med,
+       CAST(len(w) AS BIGINT) AS n_window
+FROM win
+"""
+
+
+def _q_trend(spark, sf_dir):
+    """Per-event-type daily-volume OLS trend (`operators/stats.py:
+    linear_trend`): day-index x (rebased small so n·Σx² stays in
+    long range), events-per-day y, and the exact integer slope
+    fraction (sxy_num, sxx_num) — the division never happens
+    engine-side because negative-numerator div semantics diverge
+    between engines."""
+    from omop2owl_vocab_spark.operators.stats import linear_trend
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return linear_trend(daily, ["event_type"], "day", "n_events")
+
+
+_Q_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(day) AS BIGINT) AS sum_x,
+       CAST(SUM(n_events) AS BIGINT) AS sum_y,
+       CAST(COUNT(*) * SUM(CAST(day AS HUGEINT) * n_events)
+            - CAST(SUM(day) AS HUGEINT) * SUM(n_events)
+            AS BIGINT) AS sxy_num,
+       CAST(COUNT(*) * SUM(CAST(day AS HUGEINT) * day)
+            - CAST(SUM(day) AS HUGEINT) * SUM(day)
+            AS BIGINT) AS sxx_num
+FROM daily GROUP BY event_type
+"""
+
+
 def _q_assoc_rules(spark, sf_dir):
     """Directed association rules (`operators/graph.py:
     association_rules`) over the lineitem order→part baskets: both
@@ -5137,6 +5271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_interval_merge": _q_interval_merge,
+        "q_rolling_median": _q_rolling_median,
+        "q_trend": _q_trend,
         "q_assoc_rules": _q_assoc_rules,
         "kg_modularity": _kg_modularity,
         "kg_hits": _kg_hits,
@@ -5264,6 +5401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_interval_merge": _Q_INTERVAL_MERGE_SQL,
+        "q_rolling_median": _Q_ROLLING_MEDIAN_SQL,
+        "q_trend": _Q_TREND_SQL,
         "q_assoc_rules": _Q_ASSOC_RULES_SQL,
         "kg_modularity": _KG_MODULARITY_SQL,
         "kg_hits": _KG_HITS_SQL,

@@ -282,3 +282,65 @@ def rank_normalize(
     return ranked.select(
         *[c for c in df.columns], pct.alias(out_col)
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares trend in EXACT integer sufficient
+    statistics: ``(keys..., n, sum_x, sum_y, sxy_num, sxx_num)`` with
+
+        sxy_num = n·Σxy − Σx·Σy        sxx_num = n·Σx² − (Σx)²
+
+    so the OLS slope is the exact rational ``sxy_num / sxx_num`` and
+    the intercept ``(Σy·Σx² − Σx·Σxy) / (n·sxx_num/n)`` — the division
+    deliberately NEVER happens engine-side: both numerators can be
+    negative, and integer-division semantics for negatives differ
+    between engines (Spark ``div`` truncates, DuckDB ``//`` floors),
+    so emitting the exact fraction is the only bit-portable form.
+    The per-group drift detector (events/day trending up?, tokens/doc
+    shrinking?) next to `mad_outliers`.
+
+    Plan shape: ONE map-side-combined hash-agg computing all five sums
+    in a single pass — no window, no join, no second scan.  Products
+    ride decimal(38) internally; outputs are longs, exact while
+    n·Σx² < 2^63 — keep x SMALL-SCALED (day index, not epoch-µs: with
+    x ≤ 10^5 and n ≤ 10^9 the bound holds with room; epoch-µs x
+    overflows ANY fixed width and should be rebased first).  NULL x or
+    y rows are excluded entirely (consistent with `rank_normalize`).
+    """
+    clean = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    agg = clean.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("sum_x"),
+        F.sum("__y").cast("long").alias("sum_y"),
+        F.sum(
+            F.expr("CAST(__x AS DECIMAL(38,0)) * __y")
+        ).alias("__sxy"),
+        F.sum(
+            F.expr("CAST(__x AS DECIMAL(38,0)) * __x")
+        ).alias("__sxx"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "sum_x",
+        "sum_y",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * __sxy"
+            " - CAST(sum_x AS DECIMAL(38,0)) * sum_y AS BIGINT)"
+        ).alias("sxy_num"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * __sxx"
+            " - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS BIGINT)"
+        ).alias("sxx_num"),
+    )

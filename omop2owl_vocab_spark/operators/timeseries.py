@@ -191,3 +191,109 @@ def cumulative_distinct(
     return flagged.withColumn(
         out_col, F.sum("__new").over(w_run)
     ).drop("__new")
+
+
+def interval_merge(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching [start, end) intervals per key
+    into maximal islands: ``(keys..., island, start, end, n_intervals,
+    covered)`` — island-local 1-based index, the island's span, how
+    many raw intervals merged into it, and ``covered = end - start``.
+    The interval-union primitive (total machine-busy time ignoring
+    overlap, contiguous-coverage spans, SCD-2 period compaction);
+    TOUCHING intervals merge (end == next start is one island, the
+    half-open convention).
+
+    Classic stacked-intervals pass, one shuffle+sort per key: order by
+    (start, end); a row opens a NEW island exactly when its start
+    exceeds the running max end over all preceding rows; the island id
+    is the running sum of those break flags (same sort), then one
+    hash-agg per (key, island).  Both window passes share the single
+    sort — no self-join, no explode; NULL endpoints are dropped as in
+    `max_concurrency`.  Island assignment depends only on the running
+    max over a start-ordered prefix, so any tie order among equal
+    starts yields the same islands — deterministic without a unique
+    tiebreaker column.
+    """
+    rows = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = rows.withColumn(
+        "__new",
+        F.when(
+            F.max("__e").over(w_prev).isNull()
+            | (F.col("__s") > F.max("__e").over(w_prev)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__island", F.sum("__new").over(w_run))
+    return flagged.groupBy(*keys, "__island").agg(
+        F.min("__s").alias("start"),
+        F.max("__e").alias("end"),
+        F.count("*").cast("long").alias("n_intervals"),
+    ).select(
+        *keys,
+        F.col("__island").cast("long").alias("island"),
+        "start",
+        "end",
+        "n_intervals",
+        (F.col("end") - F.col("start")).cast("long").alias("covered"),
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """EXACT trailing-window median per key: every input row extended
+    with ``med`` = the LOWER median (element ⌈n/2⌉ of the sorted
+    trailing window of up to ``window_rows`` rows, an actual data
+    value — never an interpolated float, so longs stay longs and the
+    result is engine-portable) and ``n_window`` = the window's actual
+    size (< window_rows near the head).  The robust smoother for
+    monitoring curves where the mean chases spikes.
+
+    One shuffle+sort per key partition; the trailing window rides
+    ``collect_list`` over a rows-frame + ``array_sort`` +
+    ``element_at`` — O(w log w) per row with w = ``window_rows``,
+    which is a CONSTANT (7, 28...), not a data dimension; state per
+    row never exceeds w values, so executor memory is flat at any
+    scale.  Ordering must be unique per key (timestamps, day indexes)
+    — equal order values make "trailing w rows" ill-defined; this is
+    the same contract as every `rolling_daily` caller.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(value_col).over(w))
+    return df.select(
+        *keys,
+        order_col,
+        value_col,
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias("med"),
+        F.size(arr).cast("long").alias("n_window"),
+    )
