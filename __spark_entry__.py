@@ -4730,6 +4730,124 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _kg_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest arrival (`operators/graph.py:
+    temporal_reachability`, 3 hops) over a TEMPORAL customer-key
+    graph (closed-form edge times) from the k%100==0 seed set — an
+    edge fires only at or after the walker's arrival, so static
+    reachability overcounts; min-fold is order/partitioning-free and
+    the oracle unrolls the same three relaxations."""
+    from omop2owl_vocab_spark.operators.graph import temporal_reachability
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    e = (
+        cust.select(
+            k.alias("src"), (k + 1).alias("dst"),
+            ((k * 13 + 7) % 1000).alias("t"),
+        )
+        .unionByName(
+            cust.select(
+                k.alias("src"), (k + 2).alias("dst"),
+                ((k * 5 + 11) % 1000).alias("t"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                k.alias("src"), ((k * 7 + 3) % 1000).alias("dst"),
+                ((k * 3) % 1000).alias("t"),
+            )
+        )
+    )
+    sources = cust.filter(k % 100 == 0).select(
+        k.alias("node"), F.lit(0).cast("long").alias("t0")
+    )
+    return temporal_reachability(e, sources, rounds=3)
+
+
+_KG_TEMPORAL_REACH_SQL = """
+WITH e AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst,
+         (c_custkey * 13 + 7) % 1000 AS t FROM customer
+  UNION ALL
+  SELECT c_custkey, c_custkey + 2, (c_custkey * 5 + 11) % 1000
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 7 + 3) % 1000, (c_custkey * 3) % 1000
+  FROM customer
+),
+a0 AS (
+  SELECT c_custkey AS node, CAST(0 AS BIGINT) AS arrival
+  FROM customer WHERE c_custkey % 100 = 0
+),
+a1 AS (
+  SELECT node, MIN(arrival) AS arrival FROM (
+    SELECT node, arrival FROM a0
+    UNION ALL
+    SELECT e.dst, e.t FROM a0 p
+    JOIN e ON e.src = p.node AND e.t >= p.arrival
+  ) GROUP BY node
+),
+a2 AS (
+  SELECT node, MIN(arrival) AS arrival FROM (
+    SELECT node, arrival FROM a1
+    UNION ALL
+    SELECT e.dst, e.t FROM a1 p
+    JOIN e ON e.src = p.node AND e.t >= p.arrival
+  ) GROUP BY node
+),
+a3 AS (
+  SELECT node, MIN(arrival) AS arrival FROM (
+    SELECT node, arrival FROM a2
+    UNION ALL
+    SELECT e.dst, e.t FROM a2 p
+    JOIN e ON e.src = p.node AND e.t >= p.arrival
+  ) GROUP BY node
+)
+SELECT node, CAST(arrival AS BIGINT) AS arrival FROM a3
+"""
+
+
+def _pipe_budget_select(spark, sf_dir):
+    """Token-budget data selection (`operators/scan.py:budget_select`):
+    highest-quality-first greedy cut at 150k planted tokens via the
+    distributed two-pass global prefix sum — range partition →
+    per-partition scan → ≤#partitions-row offset fold → broadcast
+    offset join — never the single-task global window."""
+    from omop2owl_vocab_spark.operators.scan import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 991).cast("long").alias("quality"),
+        _planted_tokens_col().alias("n_tokens"),
+    )
+    return budget_select(
+        docs,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        budget=150_000,
+    )
+
+
+_PIPE_BUDGET_SELECT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 991 AS BIGINT) AS quality,
+         {_PLANTED_TOKENS_SQL} AS n_tokens
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM docs
+)
+SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum
+FROM cums WHERE cum <= 150000
+"""
+
+
 def _q_interval_merge(spark, sf_dir):
     """Interval-union coalescing (`operators/timeseries.py:
     interval_merge`): per-user [start, end) event intervals (duration
@@ -5271,6 +5389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "kg_temporal_reach": _kg_temporal_reach,
+        "pipe_budget_select": _pipe_budget_select,
         "q_interval_merge": _q_interval_merge,
         "q_rolling_median": _q_rolling_median,
         "q_trend": _q_trend,
@@ -5401,6 +5521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_temporal_reach": _KG_TEMPORAL_REACH_SQL,
+        "pipe_budget_select": _PIPE_BUDGET_SELECT_SQL,
         "q_interval_merge": _Q_INTERVAL_MERGE_SQL,
         "q_rolling_median": _Q_ROLLING_MEDIAN_SQL,
         "q_trend": _Q_TREND_SQL,

@@ -1256,3 +1256,68 @@ def modularity(
             ).alias("contrib_num"),
         )
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    time_col: str = "t",
+    node_col: str = "node",
+    start_col: str = "t0",
+) -> DataFrame:
+    """Time-RESPECTING reachability over a temporal edge list: the
+    earliest arrival time at every node reachable from ``sources``
+    within ``rounds`` hops, where an edge ``(u, v, t)`` is traversable
+    only if ``t >= arrival(u)`` — information/contagion flow on a
+    dynamic graph (a fact asserted at t can only propagate along later
+    links; static reachability OVERcounts by ignoring time order).
+    Returns ``(node, arrival)``; unreached nodes are absent.
+
+    The earliest-arrival recurrence, run exactly ``rounds``
+    bulk-synchronous relaxations (a hop budget, as in `bellman_ford` —
+    cost known up front, oracle unrollable):
+
+        arrival'(v) = min(arrival(v), min{ t : (u,v,t) ∈ E,
+                                               t >= arrival(u) })
+
+    min is associative/commutative/idempotent so the fold is
+    partitioning- and order-independent — integer times, no float.
+
+    Plan shape per round: one hash equi-join (arrivals ⋈ edges on the
+    source key) + the time-respect filter + one min-aggregate over the
+    union with the previous state; ``localCheckpoint`` truncates
+    lineage per round.  Temporal fan-in skew (a hub receiving many
+    timed edges) lands on the min-aggregate's map-side partial, the
+    same absorption story as `pagerank_fixed`'s sums.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(time_col).alias("t"),
+    ).localCheckpoint(eager=True)
+    arr = (
+        sources.select(
+            F.col(node_col).alias("node"), F.col(start_col).alias("arrival")
+        )
+        .groupBy("node")
+        .agg(F.min("arrival").alias("arrival"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        step = (
+            arr.join(e, arr["node"] == e["src"])
+            .filter(F.col("t") >= F.col("arrival"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+    return arr
