@@ -362,3 +362,66 @@ def test_histogram_single_aggregate(spark):
     plan = _plan(group_histogram(docs, ["lang"], "n_chars", 200, 0, 4000))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+def test_url_dedup_join_free_single_pass(spark):
+    from omop2owl_vocab_spark.operators.text import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x https://a.io/p")], "doc_id long, text string"
+    )
+    plan = _plan(url_dedup(docs))
+    # canonicalization is a pure projection chain: no join, no window;
+    # the only exchanges are the canonical-key aggregate's
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_trigram_lm_two_linear_shuffles(spark):
+    from omop2owl_vocab_spark.operators.text import trigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    plan = _plan(trigram_lm(docs))
+    # type-count hash-agg + context-total window: two key-partitioned
+    # exchanges, one sort (the window's), and never a join
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Sort [") == 1
+
+
+def test_reciprocity_no_self_join(spark):
+    from omop2owl_vocab_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    # the pair-grouping formulation replaces the edge ⋈ reversed-edge
+    # semi-join entirely
+    assert "Join" not in _plan(reciprocity(edges))
+
+
+def test_prefix_sum_distributed_scan_shape(spark):
+    from omop2owl_vocab_spark.operators.scan import global_prefix_sum
+
+    kv = spark.createDataFrame([(1, 2)], "k long, v long")
+    plan = _plan(global_prefix_sum(kv, [F.col("k").asc()], "v"))
+    # the data path is range-partitioned (never one global-sort task);
+    # the ONLY single-partition exchange is the ≤#partitions-row offset
+    # fold, and offsets come back via a broadcast join
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_merge_one_sort_one_exchange(spark):
+    from omop2owl_vocab_spark.operators.timeseries import interval_merge
+
+    iv = spark.createDataFrame([("a", 1, 2)], "k string, s long, e long")
+    plan = _plan(interval_merge(iv, ["k"], "s", "e"))
+    # both window passes share one sort; the island aggregate reuses
+    # the window's key partitioning (hash on k satisfies (k, island)),
+    # so the whole operator is ONE exchange and ONE sort
+    assert "Join" not in plan
+    assert plan.count("Sort [") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
