@@ -4730,6 +4730,93 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _q_winsorize(spark, sf_dir):
+    """Exact nearest-rank winsorization (`operators/stats.py:
+    winsorize`): per-event-type cent values clipped into [p5, p95] —
+    both fences are actual group data points from the integer rank
+    arithmetic, never interpolated, so integer stays integer and the
+    oracle matches hash-exact."""
+    from omop2owl_vocab_spark.operators.stats import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return winsorize(ev, ["event_type"], "cents", 5, 95)
+
+
+_Q_WINSORIZE_SQL = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+fences AS (
+  SELECT event_type,
+         MAX(CASE WHEN r = (5 * n + 99) // 100 THEN cents END) AS lo,
+         MAX(CASE WHEN r = (95 * n + 99) // 100 THEN cents END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT b.event_type, b.event_id, b.cents,
+       CAST(CASE WHEN b.cents < f.lo THEN f.lo
+                 WHEN b.cents > f.hi THEN f.hi
+                 ELSE b.cents END AS BIGINT) AS clipped
+FROM base b JOIN fences f USING (event_type)
+"""
+
+
+def _txt_postings(spark, sf_dir):
+    """Gap-encoded posting lists (`operators/text.py:postings_delta`):
+    per-term ascending doc ids as deltas + max_gap — the varint/Golomb
+    coder's actual input and the compressibility diagnostic, df counted
+    before the posting cap."""
+    from omop2owl_vocab_spark.operators.text import postings_delta
+
+    return postings_delta(
+        _t(spark, sf_dir, "documents"), min_df=2, max_postings=16
+    )
+
+
+_TXT_POSTINGS_SQL = r"""
+WITH td AS (
+  SELECT DISTINCT doc_id AS doc,
+         lower(unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> ''))) AS term
+  FROM documents
+),
+agg AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         list_sort(list(doc)) AS docs
+  FROM td GROUP BY term
+),
+capped AS (
+  SELECT term, df, docs[1:16] AS d FROM agg WHERE df >= 2
+)
+SELECT term, df,
+       array_to_string(
+         list_transform(range(1, len(d) + 1),
+                        i -> CAST(d[i] - CASE WHEN i = 1 THEN 0
+                                              ELSE d[i - 1] END
+                             AS VARCHAR)),
+         ',') AS gaps,
+       CAST(list_max(
+         list_transform(range(1, len(d) + 1),
+                        i -> d[i] - CASE WHEN i = 1 THEN 0
+                                         ELSE d[i - 1] END))
+         AS BIGINT) AS max_gap
+FROM capped
+"""
+
+
 def _kg_temporal_reach(spark, sf_dir):
     """Time-respecting earliest arrival (`operators/graph.py:
     temporal_reachability`, 3 hops) over a TEMPORAL customer-key
@@ -5389,6 +5476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_winsorize": _q_winsorize,
+        "txt_postings": _txt_postings,
         "kg_temporal_reach": _kg_temporal_reach,
         "pipe_budget_select": _pipe_budget_select,
         "q_interval_merge": _q_interval_merge,
@@ -5521,6 +5610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_winsorize": _Q_WINSORIZE_SQL,
+        "txt_postings": _TXT_POSTINGS_SQL,
         "kg_temporal_reach": _KG_TEMPORAL_REACH_SQL,
         "pipe_budget_select": _PIPE_BUDGET_SELECT_SQL,
         "q_interval_merge": _Q_INTERVAL_MERGE_SQL,

@@ -344,3 +344,50 @@ def linear_trend(
             " - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS BIGINT)"
         ).alias("sxx_num"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    low_pct: int = 5,
+    high_pct: int = 95,
+    out_col: str = "clipped",
+) -> DataFrame:
+    """Per-group winsorization at EXACT nearest-rank percentiles: every
+    input row extended with ``out_col`` = ``value_col`` clipped into
+    ``[p_low, p_high]`` of its group — the robust-preprocessing clip
+    (outlier-capped features, spike-capped metrics) that, unlike
+    z-score trimming, never invents a value: both fences are actual
+    group data points from `group_quantiles`' integer rank arithmetic,
+    so integer columns stay integer and the DuckDB oracle matches
+    hash-exact.
+
+    Plan shape: one `group_quantiles` pass (single exchange+sort per
+    group) → one equi-join of the tiny per-group fence table back onto
+    the rows (broadcast-sized whenever groups ≪ rows — AQE picks it) →
+    a pure projection.  NULL values pass through unclipped, and rows
+    whose group has no non-NULL values keep their value — consistent
+    with `group_quantiles`' NULL exclusion.
+    """
+    if not (1 <= int(low_pct) < int(high_pct) <= 100):
+        raise ValueError("need 1 <= low_pct < high_pct <= 100")
+    fences = group_quantiles(
+        df, group_cols, value_col, (int(low_pct), int(high_pct))
+    ).select(
+        *group_cols,
+        F.col(f"p{int(low_pct)}").alias("__lo"),
+        F.col(f"p{int(high_pct)}").alias("__hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(fences, group_cols, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__lo").isNull() | v.isNull(), v)
+            .when(v < F.col("__lo"), F.col("__lo"))
+            .when(v > F.col("__hi"), F.col("__hi"))
+            .otherwise(v),
+        )
+        .drop("__lo", "__hi")
+    )

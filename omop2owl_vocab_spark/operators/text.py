@@ -1014,3 +1014,60 @@ def url_dedup(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+def postings_delta(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 64,
+) -> DataFrame:
+    """Gap-encoded posting lists — the index-CONSTRUCTION step after
+    `inverted_index`: per lowercased term, the ascending doc-id list
+    (capped at ``max_postings``) re-expressed as deltas
+    ``(term, df, gaps, max_gap)`` with ``gaps`` comma-joined (first
+    element = first doc id, then successive differences) and
+    ``max_gap`` the largest delta — the numbers a varint/Golomb coder
+    actually stores, and the compressibility diagnostic (max_gap bounds
+    the code length).  ``df`` counts ALL matching documents (before the
+    cap), so the cap truncates the preview, not the statistic.
+
+    Plan: explode → distinct (term, doc) hash-agg →
+    per-term ``slice(array_sort(collect_set))`` and a zip_with
+    self-shift for the deltas — the gap arithmetic is a pure array
+    projection AFTER the aggregate, touching ≤ ``max_postings``
+    elements per term.  Stopword-term skew: same collect-before-slice
+    hazard and upstream-filter escape hatch as `inverted_index`.
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    if max_postings < 1:
+        raise ValueError("max_postings must be >= 1")
+    term_doc = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .distinct()
+    )
+    agg = term_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.slice(
+            F.array_sort(F.collect_set("doc")), 1, max_postings
+        ).alias("__docs"),
+    )
+    shifted = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.slice(F.col("__docs"), 1, F.size("__docs") - 1),
+    )
+    gaps = F.zip_with(F.col("__docs"), shifted, lambda a, b: a - b)
+    return (
+        agg.filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            "df",
+            F.array_join(gaps.cast("array<string>"), ",").alias("gaps"),
+            F.array_max(gaps).cast("long").alias("max_gap"),
+        )
+    )
