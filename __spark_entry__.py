@@ -4730,6 +4730,72 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _mm_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (`operators/multimodal.py:
+    sample_frames`): planted durations fan each media row out to
+    1–5 frames through the Arrow `mapInPandas` stub (wraparound
+    64-byte payload slices), then every frame is checksummed
+    JVM-side (hex-nibble byte sum) so the DuckDB oracle re-derives
+    the exact slice content from the text bytes — the 1→N explode
+    contract of a real ffmpeg extractor, value-verified."""
+    from omop2owl_vocab_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(_t(spark, sf_dir, "documents")).withColumn(
+        "meta_duration_ms",
+        ((F.col("media_id") % 5) * 1000 + 500).cast("long"),
+    )
+    frames = sample_frames(media, every_ms=1000, frame_bytes=64)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.when(
+            F.length("frame") > 0,
+            F.expr(
+                "aggregate(sequence(1, length(hex(frame))), 0L,"
+                " (acc, i) -> acc + (instr('0123456789ABCDEF',"
+                " substr(hex(frame), i, 1)) - 1)"
+                " * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("byte_sum"),
+    )
+
+
+_MM_FRAMES_SQL = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         hex(encode(COALESCE(text, ''))) AS hx,
+         octet_length(encode(COALESCE(text, ''))) AS n,
+         (doc_id % 5) * 1000 + 500 AS dur
+  FROM documents
+),
+fr AS (
+  SELECT media_id, hx, n, CAST(f.i AS BIGINT) AS frame_idx
+  FROM h, LATERAL (SELECT unnest(range(dur // 1000 + 1)) AS i) f
+)
+SELECT media_id, frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS ts_ms,
+       CAST(LEAST(64, n) AS BIGINT) AS frame_len,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE
+         list_sum(list_transform(range(LEAST(64, n)),
+           j -> (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(((frame_idx + j) % n) * 2 + 1
+                                        AS INTEGER), 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(((frame_idx + j) % n) * 2 + 2
+                                        AS INTEGER), 1)) - 1)))
+       END AS BIGINT) AS byte_sum
+FROM fr
+"""
+
+
 def _q_winsorize(spark, sf_dir):
     """Exact nearest-rank winsorization (`operators/stats.py:
     winsorize`): per-event-type cent values clipped into [p5, p95] —
@@ -5476,6 +5542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "mm_frames": _mm_frames,
         "q_winsorize": _q_winsorize,
         "txt_postings": _txt_postings,
         "kg_temporal_reach": _kg_temporal_reach,
@@ -5610,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mm_frames": _MM_FRAMES_SQL,
         "q_winsorize": _Q_WINSORIZE_SQL,
         "txt_postings": _TXT_POSTINGS_SQL,
         "kg_temporal_reach": _KG_TEMPORAL_REACH_SQL,
