@@ -4730,6 +4730,87 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _sim_centroids(spark, sf_dir):
+    """Per-label embedding centroids (`operators/similarity.py:
+    centroids`): the k-means/IVF update step in exact e6 fixed point —
+    components integer-ized before summation so partitioning can't
+    change the sum, mean as ONE portable double division (never
+    integer div, whose negative-operand semantics diverge)."""
+    from omop2owl_vocab_spark.operators.similarity import centroids
+
+    return centroids(
+        _t(spark, sf_dir, "embeddings").select(
+            F.col("label").cast("long").alias("label"), "embedding"
+        )
+    )
+
+
+_SIM_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v6) AS BIGINT) AS sum_e6,
+       CAST(floor(CAST(SUM(v6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS mean_e6
+FROM ex GROUP BY label, dim
+"""
+
+
+def _txt_sentences(spark, sf_dir):
+    """Sentence segmentation stats (`operators/text.py:sentence_stats`)
+    over documents with PLANTED terminal punctuation (the corpus has
+    none): the base text becomes one long sentence followed by three
+    planted ones of 2/3/1 words, so counts, max, and the exact e2
+    average are all value-verified; the split rule is lookbehind-free
+    so the DuckDB oracle runs it verbatim."""
+    from omop2owl_vocab_spark.operators.text import sentence_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(". alpha beta! gamma delta epsilon? zeta."),
+    )
+    return sentence_stats(docs.select("doc_id", aug.alias("text")))
+
+
+_TXT_SENTENCES_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         COALESCE(text, '') || '. alpha beta! gamma delta epsilon? zeta.'
+           AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(t, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS ss
+  FROM aug
+),
+wc AS (
+  SELECT doc_id,
+         list_transform(ss,
+           s -> CAST(len(list_filter(string_split_regex(s, '\s+'),
+                                     w -> w <> '')) AS BIGINT)) AS w
+  FROM segs
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_sum(w), 0) AS BIGINT) AS sum_words,
+       CAST(COALESCE(list_max(w), 0) AS BIGINT) AS max_words,
+       CAST(CASE WHEN len(w) > 0
+                 THEN (COALESCE(list_sum(w), 0) * 100) // len(w)
+                 ELSE 0 END AS BIGINT) AS avg_words_e2
+FROM wc
+"""
+
+
 def _mm_frames(spark, sf_dir):
     """Video frame-sampling plumbing (`operators/multimodal.py:
     sample_frames`): planted durations fan each media row out to
@@ -5542,6 +5623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "sim_centroids": _sim_centroids,
+        "txt_sentences": _txt_sentences,
         "mm_frames": _mm_frames,
         "q_winsorize": _q_winsorize,
         "txt_postings": _txt_postings,
@@ -5677,6 +5760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sim_centroids": _SIM_CENTROIDS_SQL,
+        "txt_sentences": _TXT_SENTENCES_SQL,
         "mm_frames": _MM_FRAMES_SQL,
         "q_winsorize": _Q_WINSORIZE_SQL,
         "txt_postings": _TXT_POSTINGS_SQL,

@@ -563,3 +563,56 @@ def scalar_quantize(
         e6.crossJoin(F.broadcast(packed))
         .select(F.col(id_col), codes.alias("codes"))
     )
+
+
+def centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids in exact fixed point — the k-means
+    / IVF-training UPDATE step (assign is `ivf_topk`'s bucketing) and
+    the class-prototype builder for nearest-centroid classification:
+    ``(group_col, dim, n, sum_e6, mean_e6)`` long-form, one row per
+    (group, dimension).
+
+    Components are e6 fixed-pointed FIRST (``floor(x·10^6 + 0.5)`` on
+    the double-widened float — deterministic in any IEEE engine, the
+    same convention as `scalar_quantize`), so ``sum_e6`` is an exact
+    long and partitioning/summation order cannot change it (integer
+    addition is associative — the float-mean reduction-order problem
+    does not exist here).  ``mean_e6 = floor(sum_e6/n + 0.5)`` is ONE
+    double division of exact integers — portable like `kmv_distinct`'s
+    estimator; deliberately NOT integer ``div``, whose negative-operand
+    semantics differ between engines (embeddings go negative).
+
+    Plan: posexplode → one (group, dim) hash-agg with map-side partial
+    sums — a single key-partitioned shuffle carrying
+    groups × dims rows out of the map side; no join, no window, no
+    driver collect.
+    """
+    v6 = F.posexplode(
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+        )
+    )
+    ex = emb.select(F.col(group_col), v6.alias("dim", "v6"))
+    return (
+        ex.groupBy(group_col, "dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v6").cast("long").alias("sum_e6"),
+        )
+        .select(
+            group_col,
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            "sum_e6",
+            F.floor(
+                F.col("sum_e6").cast("double") / F.col("n") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_e6"),
+        )
+    )
