@@ -4730,6 +4730,69 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _kg_ppr(spark, sf_dir):
+    """Personalized PageRank (`operators/graph.py:
+    personalized_pagerank`, 3 rounds, seeds = custkeys divisible by
+    97) over the customer-key graph: random-walk-with-restart mass
+    restricted to the seed set in the same all-integer discipline as
+    kg_pagerank — the 'entities most related to THESE concepts'
+    primitive, oracle-unrolled round by round."""
+    from omop2owl_vocab_spark.operators.graph import personalized_pagerank
+
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return personalized_pagerank(
+        _custkey_edges(spark, sf_dir), seeds, iterations=3
+    )
+
+
+def _ppr_oracle_sql(iterations: int = 3, damping_pct: int = 85) -> str:
+    base = (100 - damping_pct) * (10**9) // 100
+    head = """
+WITH raw AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, (c_custkey * 7 + 3) % 1000 FROM customer
+),
+e AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (
+  SELECT node,
+         CASE WHEN node IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey % 97 = 0)
+              THEN 1 ELSE 0 END AS seed
+  FROM (
+    SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    )
+  )
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT node, seed, CAST(seed * 1000000000 AS BIGINT) AS r FROM nodes
+)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+r{i} AS (
+  SELECT n.node, n.seed,
+         CAST(n.seed * {base}
+              + {damping_pct} * COALESCE(s.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.r // deg.deg) AS s
+    FROM r{i - 1} r JOIN e ON e.src = r.node JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    tail = f"\nSELECT node, r AS rank_e9 FROM r{iterations}"
+    return head + "".join(its) + tail
+
+
+_KG_PPR_SQL = _ppr_oracle_sql()
+
+
 def _sim_centroids(spark, sf_dir):
     """Per-label embedding centroids (`operators/similarity.py:
     centroids`): the k-means/IVF update step in exact e6 fixed point —
@@ -5623,6 +5686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "kg_ppr": _kg_ppr,
         "sim_centroids": _sim_centroids,
         "txt_sentences": _txt_sentences,
         "mm_frames": _mm_frames,
@@ -5760,6 +5824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_ppr": _KG_PPR_SQL,
         "sim_centroids": _SIM_CENTROIDS_SQL,
         "txt_sentences": _TXT_SENTENCES_SQL,
         "mm_frames": _MM_FRAMES_SQL,

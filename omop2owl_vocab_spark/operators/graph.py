@@ -1321,3 +1321,94 @@ def temporal_reachability(
             .localCheckpoint(eager=True)
         )
     return arr
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank in the same pure-integer discipline as
+    `pagerank_fixed`: random-walk-with-restart mass RESTRICTED to a
+    seed set — the KG relatedness/recommendation primitive ("entities
+    most related to THESE concepts", crawl expansion from a trusted
+    frontier) where global PageRank answers the wrong question.
+    Returns ``(node, rank_e9)`` over every node of the deduplicated
+    edge set; seeds both hold the initial mass and receive the
+    teleport refill:
+
+        r_0(v)    = S·[v ∈ seeds]
+        r_{t+1}(v) = (100-d)·S div 100 · [v ∈ seeds]
+                     + d·Σ_{u→v} (r_t(u) div deg⁺(u)) div 100
+
+    with S = 10^9 — integer division throughout, so the DuckDB oracle
+    unrolls it bit-exactly and summation order is irrelevant.  Mass
+    decays off dangling paths exactly as in `pagerank_fixed` (ranking
+    semantics, not a conserved distribution).
+
+    Plan shape per iteration: identical to `pagerank_fixed` (one
+    scores ⋈ edges hash join + one sum-by-dst with map-side partials +
+    one spine left-join), plus one broadcast-sized seed membership
+    join hoisted OUT of the loop — the seed flag is computed once on
+    the node spine, not per round.
+    """
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in 0..100")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select(F.col(node_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(seed_nodes.withColumn("__seed", F.lit(1))),
+            "node",
+            "left",
+        )
+        .na.fill({"__seed": 0})
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    base_val = (100 - damping_pct) * _SCALE // 100
+    ranks = nodes.select(
+        "node",
+        "__seed",
+        (F.col("__seed") * _SCALE).cast("long").alias("rank_e9"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(ed, ranks["node"] == ed["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e9 div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "__seed",
+                (
+                    (F.col("__seed") * base_val).cast("long")
+                    + F.expr(
+                        f"CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(s, CAST(0 AS BIGINT)) div 100"
+                    )
+                ).alias("rank_e9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_e9")
