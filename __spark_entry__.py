@@ -5598,7 +5598,11 @@ _HLL_B = 8
 _HLL_M = 1 << _HLL_B
 _HLL_WBITS = 60 - _HLL_B
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
-_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_WBITS)
+# sum_pow rides scale 2^(wbits+1) — ρ reaches wbits+1 on a zero
+# sub-hash, and the one-bit headroom keeps every shift count ≥ 0
+# (Java masks negative shifts mod 64; DuckDB doesn't — see
+# operators/sketch.py:hll_estimate)
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1))
 
 
 def _q_hll_distinct(spark, sf_dir):
@@ -5656,8 +5660,8 @@ regs AS (
 folded AS (
   SELECT o_orderpriority,
          CAST(COUNT(*) AS BIGINT) AS n_buckets,
-         CAST(SUM(1::BIGINT << ({_HLL_WBITS} - max_rho))
-              + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_WBITS})
+         CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - max_rho))
+              + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_WBITS + 1})
               AS BIGINT) AS sum_pow
   FROM regs GROUP BY o_orderpriority
 ),

@@ -42,6 +42,83 @@ from pyspark.sql import functions as F
 _SCALE = 10**9
 
 
+def _undirected_simple(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected simple edge set ``(a, b)`` with ``a < b``:
+    self-loops dropped, direction and duplicates collapsed,
+    checkpointed (every undirected operator starts here — one shared
+    derivation instead of four drifting copies)."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    return (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """``(node, deg)`` over a `_undirected_simple` edge set."""
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+
+
+def _orient_by_degree(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient every undirected edge from the lower ``(degree, node)``
+    endpoint to the higher — the standard MapReduce/MPC triangle
+    scheme: each triangle then has exactly ONE wedge at its
+    lowest-ordered vertex, and oriented out-degree is O(√m) on ANY
+    graph, so power-law hubs cannot explode the wedge self-join.
+    Returns ``(u, v)``, checkpointed."""
+    da = deg.select(
+        F.col("node").alias("a"),
+        F.struct("deg", F.col("node").alias("nn")).alias("ka"),
+    )
+    db = deg.select(
+        F.col("node").alias("b"),
+        F.struct("deg", F.col("node").alias("nn")).alias("kb"),
+    )
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _undirected_adjacency(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Long-form undirected adjacency ``(node, nbr)`` — both directions
+    of every simple edge (self-loops dropped, duplicates collapsed),
+    checkpointed; the shared input of the neighbor-set operators."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    return (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def pagerank_fixed(
     edges: DataFrame,
     src: str = "src",
@@ -128,39 +205,8 @@ def triangle_count(
     equi-joins on node keys.  Reference analog: none (mandated graph
     surface next to CC / PageRank).
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-    )
-    und = (
-        e.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionByName(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").cast("long").alias("d"))
-    )
-    # orient low (degree, node) -> high: struct comparison is lexicographic
-    da = deg.select(
-        F.col("n").alias("a"), F.struct("d", F.col("n").alias("nn")).alias("ka")
-    )
-    db = deg.select(
-        F.col("n").alias("b"), F.struct("d", F.col("n").alias("nn")).alias("kb")
-    )
-    keyed = und.join(da, "a").join(db, "b")
-    oriented = keyed.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("a"))
-        .otherwise(F.col("b"))
-        .alias("u"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b"))
-        .otherwise(F.col("a"))
-        .alias("v"),
-    ).localCheckpoint(eager=True)
+    und = _undirected_simple(edges, src, dst)
+    oriented = _orient_by_degree(und, _degrees(und))
     wedges = (
         oriented.alias("x")
         .join(oriented.alias("y"), F.col("x.u") == F.col("y.u"))
@@ -640,15 +686,7 @@ def neighbor_jaccard(
     hazard and should be capped upstream (compose with `k_core` or a
     degree filter) exactly like LSH bucket caps.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    adj = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-    )
+    adj = _undirected_adjacency(edges, src_col, dst_col)
     deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
     common = (
         adj.alias("a")
@@ -819,43 +857,9 @@ def clustering_coefficient(
     throughout; no float anywhere, so the DuckDB oracle matches
     hash-exact.
     """
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).filter(F.col("a") != F.col("b"))
-    und = (
-        e.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
-    da = deg.select(
-        F.col("node").alias("a"),
-        F.struct("deg", F.col("node").alias("nn")).alias("ka"),
-    )
-    db = deg.select(
-        F.col("node").alias("b"),
-        F.struct("deg", F.col("node").alias("nn")).alias("kb"),
-    )
-    oriented = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(F.col("ka") < F.col("kb"), F.col("a"))
-            .otherwise(F.col("b"))
-            .alias("u"),
-            F.when(F.col("ka") < F.col("kb"), F.col("b"))
-            .otherwise(F.col("a"))
-            .alias("v"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    und = _undirected_simple(edges, src_col, dst_col)
+    deg = _degrees(und)
+    oriented = _orient_by_degree(und, deg)
     closed = (
         oriented.alias("x")
         .join(oriented.alias("y"), F.col("x.u") == F.col("y.u"))
@@ -926,18 +930,7 @@ def link_prediction(
     """
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    adj = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-        .localCheckpoint(eager=True)
-    )
+    adj = _undirected_adjacency(edges, src_col, dst_col)
     deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
     cn = (
         adj.alias("a")
@@ -1211,16 +1204,7 @@ def modularity(
     4·m·in_c and tot_c² stay under 2^63 (m beyond ~2.3·10^18 internal
     edges per community is past any real graph).
     """
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).filter(F.col("a") != F.col("b"))
-    und = (
-        e.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _undirected_simple(edges, src_col, dst_col)
     m_row = und.agg(F.count("*").cast("long").alias("m"))
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")
@@ -1233,12 +1217,7 @@ def modularity(
         .groupBy(F.col("la").alias("label"))
         .agg(F.count("*").cast("long").alias("in_edges"))
     )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
+    deg = _degrees(und)
     tot_c = (
         lab.join(deg, "node", "left")
         .na.fill({"deg": 0})

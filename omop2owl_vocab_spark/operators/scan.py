@@ -61,7 +61,11 @@ def global_prefix_sum(
     local = staged.withColumn(
         "__local", F.sum(value_col).over(w_local)
     )
-    totals = local.groupBy("__pid").agg(
+    # totals hang off the PRE-window frame: the offsets branch then
+    # shares only the range exchange with the data path, not the
+    # per-partition sort/window subtree (which would otherwise be
+    # evaluated twice per action)
+    totals = staged.groupBy("__pid").agg(
         F.sum(value_col).cast("long").alias("__total")
     )
     w_off = (

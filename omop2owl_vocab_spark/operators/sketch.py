@@ -168,33 +168,39 @@ def hll_estimate(
     ``(group_cols..., n_buckets, sum_pow, est_e4)``.
 
     ``sum_pow`` is the EXACT integer harmonic denominator scaled by
-    2^(60-b): Σ over all 2^b registers of 2^(60-b-ρ), empty registers
-    contributing ρ=0 terms — each term and the 2^b-term sum fit a long
-    comfortably (≤ 2^(60-b) · 2^b = 2^60).  ``est_e4`` is the raw HLL
-    estimate α_m·m²/Σ2^(−ρ) in 4-decimal fixed point, computed as ONE
-    IEEE-754 double division of a plan-time constant by ``sum_pow`` —
-    the same portability argument as `kmv_distinct`'s estimator, so the
-    DuckDB oracle reproduces it hash-exact.  (Raw estimator only: the
-    small-range linear-counting correction needs ln(), whose libm
-    rounding is NOT engine-portable — callers with tiny groups should
-    use `kmv_distinct`'s exact path instead.)
+    2^(61-b): Σ over all 2^b registers of 2^(61-b-ρ), empty registers
+    contributing ρ=0 terms.  The scale is one bit ABOVE the sub-hash
+    width on purpose: ρ ranges up to (60-b)+1 (a zero sub-hash), and at
+    scale 2^(60-b) that maximal register's term would be 2^-1 — a
+    NEGATIVE shift count, which Java masks mod 64 into 1<<63 (garbage)
+    while DuckDB does something else entirely.  At 2^(61-b) every
+    exponent is ≥ 0, each term and the 2^b-term sum still fit a long
+    (≤ 2^(61-b) · 2^b = 2^61), and the arithmetic stays exact.
+    ``est_e4`` is the raw HLL estimate α_m·m²/Σ2^(−ρ) in 4-decimal
+    fixed point, computed as ONE IEEE-754 double division of a
+    plan-time constant by ``sum_pow`` — the same portability argument
+    as `kmv_distinct`'s estimator, so the DuckDB oracle reproduces it
+    hash-exact.  (Raw estimator only: the small-range linear-counting
+    correction needs ln(), whose libm rounding is NOT engine-portable —
+    callers with tiny groups should use `kmv_distinct`'s exact path
+    instead.)
     """
     if not 4 <= b <= 16:
         raise ValueError("b must be in [4, 16]")
     m = 1 << b
     wbits = 60 - b
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    numer = alpha * m * m * float(1 << wbits)
+    numer = alpha * m * m * float(1 << (wbits + 1))
     agg = registers.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.sum(
-            F.expr(f"shiftleft(1L, {wbits} - max_rho)")
+            F.expr(f"shiftleft(1L, {wbits + 1} - max_rho)")
         )
         .cast("long")
         .alias("__present_pow"),
     )
     sum_pow = F.col("__present_pow") + (
-        (F.lit(m) - F.col("n_buckets")) * F.lit(1 << wbits)
+        (F.lit(m) - F.col("n_buckets")) * F.lit(1 << (wbits + 1))
     )
     return agg.select(
         *group_cols,

@@ -840,7 +840,6 @@ def trigram_lm(
     df: DataFrame,
     min_count: int = 1,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Conditional trigram counts — the classic count-based LM table
     ``(w1, w2, w3, n, prob_e4)`` with ``prob_e4`` the maximum-likelihood
@@ -1122,18 +1121,16 @@ def sentence_stats(
         F.coalesce(F.array_max("__w"), F.lit(0))
         .cast("long")
         .alias("max_words"),
-        F.when(n > 0, F.expr("(aggregate(__w, 0L, (a, x) -> a + x) * 100)")
-               .cast("long"))
-        .otherwise(F.lit(0))
-        .alias("__t100"),
     ).select(
         "doc_id",
         "n_sentences",
         "sum_words",
         "max_words",
+        # derived from the ALREADY-computed sum column — never a second
+        # fold over __w that could drift from the first
         F.when(
             F.col("n_sentences") > 0,
-            F.expr("__t100 div n_sentences"),
+            F.expr("(sum_words * 100) div n_sentences"),
         )
         .otherwise(F.lit(0))
         .cast("long")

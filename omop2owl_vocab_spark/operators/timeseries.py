@@ -290,10 +290,9 @@ def rolling_median(
         .rowsBetween(-(window_rows - 1), Window.currentRow)
     )
     arr = F.array_sort(F.collect_list(value_col).over(w))
+    # every input column passes through — med/n_window EXTEND the row
     return df.select(
-        *keys,
-        order_col,
-        value_col,
+        "*",
         F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias("med"),
         F.size(arr).cast("long").alias("n_window"),
     )

@@ -74,12 +74,14 @@ def read_documents_jsonl(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("j"),
     )
-    docs = parsed.filter(F.col("j._corrupt").isNull()).select(
+    # a line that parses to a NULL struct (blank line, literal `null`)
+    # is malformed too — without the j IS NOT NULL guard it would slip
+    # past the corrupt check as a phantom all-null document row
+    bad = F.col("j").isNull() | F.col("j._corrupt").isNotNull()
+    docs = parsed.filter(~bad).select(
         *[f"j.{f.name}" for f in DOCUMENTS_JSONL_SCHEMA.fields]
     )
-    quarantine = parsed.filter(F.col("j._corrupt").isNotNull()).select(
-        F.col("value").alias("line")
-    )
+    quarantine = parsed.filter(bad).select(F.col("value").alias("line"))
     return docs, quarantine
 
 

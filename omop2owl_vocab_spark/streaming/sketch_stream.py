@@ -18,14 +18,15 @@ sketch, unlike a count-based aggregate.
 State is ≤ 2^b rows per group FOREVER — the unbounded-cardinality
 distinct-count problem ("unique users all time") reduced to a bounded
 table an object store can hold; the same merge runs cross-shard or
-cross-stream.  The swap is write-new-then-rename on a filesystem; on
-an object store the body becomes a table-format MERGE commit.
+cross-stream.  The snapshot swap is the crash-safe three-step replace
+from ``streaming/_store.py`` (never both copies gone, half-done swaps
+repaired before the next merge); on an object store the body becomes
+a table-format MERGE commit.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StringType, StructField, StructType
 
 from omop2owl_vocab_spark.operators.sketch import hll_registers
+from omop2owl_vocab_spark.streaming._store import atomic_replace, recover
 
 HLL_STREAM_SCHEMA = StructType(
     [
@@ -55,6 +57,7 @@ def hll_stream(
     per micro-batch)."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        recover(registers_dir)  # repair a swap a previous kill left half-done
         regs = hll_registers(batch, ["grp"], "v", b=b)
         sess = batch.sparkSession
         if os.path.exists(registers_dir):
@@ -66,11 +69,7 @@ def hll_stream(
             )
         else:
             merged = regs
-        tmp = registers_dir + f".__next{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(registers_dir):
-            shutil.rmtree(registers_dir)
-        os.rename(tmp, registers_dir)
+        atomic_replace(merged, registers_dir, batch_id)
 
     stream = (
         spark.readStream.schema(HLL_STREAM_SCHEMA)

@@ -13,7 +13,8 @@ Tombstones are RETAINED in the stored snapshot (op column kept) so a
 late-arriving older update cannot resurrect a deleted key; readers
 filter deletes at query time via ``read_snapshot``.
 
-The swap is write-new-then-rename on a filesystem; on an object store
+The snapshot swap is the crash-safe three-step replace from
+``streaming/_store.py`` (never both copies gone); on an object store
 the same ``foreachBatch`` body would be a table-format MERGE commit
 (Iceberg/Delta) — the micro-batch collapse and winner rule are
 unchanged, only the atomic-commit primitive differs.
@@ -22,7 +23,6 @@ unchanged, only the atomic-commit primitive differs.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 )
 
 from omop2owl_vocab_spark.operators.cdc import changelog_apply
+from omop2owl_vocab_spark.streaming._store import atomic_replace, recover
 
 CDC_STREAM_SCHEMA = StructType(
     [
@@ -60,6 +61,7 @@ def upsert_stream(
     (parquet, atomically replaced per micro-batch)."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        recover(snapshot_dir)  # repair a swap a previous kill left half-done
         winners = changelog_apply(batch, _KEYS, _SEQ)
         sess = batch.sparkSession
         if os.path.exists(snapshot_dir):
@@ -69,11 +71,7 @@ def upsert_stream(
             )
         else:
             merged = winners
-        tmp = snapshot_dir + f".__next{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
-        os.rename(tmp, snapshot_dir)
+        atomic_replace(merged, snapshot_dir, batch_id)
 
     stream = (
         spark.readStream.schema(CDC_STREAM_SCHEMA)

@@ -70,3 +70,19 @@ def test_b_bounds():
         hll_estimate(None, ["g"], b=3)
     with pytest.raises(ValueError):
         hll_estimate(None, ["g"], b=17)
+
+
+def test_estimate_survives_zero_subhash_register(spark):
+    # a zero sub-hash produces max_rho = (60-b)+1 = 53 at b=8; the
+    # 2^(wbits+1) scaling must keep the shift count >= 0 (a negative
+    # count would hit Java's mod-64 masking and corrupt sum_pow)
+    regs = spark.createDataFrame(
+        [("g", 0, 53), ("g", 1, 1)],
+        "grp string, bucket long, max_rho long",
+    )
+    r = hll_estimate(regs, ["grp"]).collect()[0]
+    assert r["sum_pow"] > 0
+    # bucket 0 contributes 2^0 = 1, bucket 1 contributes 2^52, the
+    # 254 empty buckets 2^53 each
+    assert r["sum_pow"] == 1 + (1 << 52) + 254 * (1 << 53)
+    assert r["est_e4"] > 0

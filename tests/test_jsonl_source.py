@@ -26,13 +26,16 @@ def test_jsonl_quarantine_keeps_bad_lines(spark, tmp_path):
         ' "n_chars": 2}\n'
         "this is not json\n"
         '{"doc_id": 2, "text": "also ok"}\n'
+        "null\n"
         '{"broken": \n'
     )
     docs, quarantine = read_documents_jsonl(spark, str(p))
     got = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert got == {1: "ok", 2: "also ok"}
+    # the NULL-struct parses (literal `null`) are quarantined, never
+    # phantom all-null document rows
     bad = sorted(r["line"] for r in quarantine.collect())
-    assert bad == ["this is not json", '{"broken": ']
+    assert bad == ["null", "this is not json", '{"broken": ']
     # parsed-but-sparse rows keep NULLs rather than being quarantined
     sparse = docs.filter("doc_id = 2").collect()[0]
     assert sparse["lang"] is None and sparse["n_chars"] is None
