@@ -4730,6 +4730,39 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _q_skyline(spark, sf_dir):
+    """2-D Pareto frontier (`operators/scan.py:skyline_2d`): parts not
+    dominated on (size, price-cents) under minimization — per-x min
+    hash-agg then a STRICT prefix-min in the distributed two-pass scan
+    layout (range partition + per-partition sweep + tiny offset fold),
+    never the O(n²) dominance self-join the brute-force oracle runs."""
+    from omop2owl_vocab_spark.operators.scan import skyline_2d
+
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("sz"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return skyline_2d(pts, "sz", "cents")
+
+
+_Q_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+  FROM part
+)
+SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y)
+)
+GROUP BY x, y
+"""
+
+
 def _kg_ppr(spark, sf_dir):
     """Personalized PageRank (`operators/graph.py:
     personalized_pagerank`, 3 rounds, seeds = custkeys divisible by
@@ -5690,6 +5723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_skyline": _q_skyline,
         "kg_ppr": _kg_ppr,
         "sim_centroids": _sim_centroids,
         "txt_sentences": _txt_sentences,
@@ -5828,6 +5862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_skyline": _Q_SKYLINE_SQL,
         "kg_ppr": _KG_PPR_SQL,
         "sim_centroids": _SIM_CENTROIDS_SQL,
         "txt_sentences": _TXT_SENTENCES_SQL,

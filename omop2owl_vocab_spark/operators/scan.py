@@ -107,3 +107,69 @@ def budget_select(
         raise ValueError("budget must be >= 0")
     summed = global_prefix_sum(df, order_by, cost_col, out_col=cum_col)
     return summed.filter(F.col(cum_col) <= budget)
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pareto frontier under MINIMIZATION of both columns: the rows no
+    other row dominates (``q`` dominates ``p`` when ``q.x <= p.x`` and
+    ``q.y <= p.y`` with at least one strict).  The multi-objective
+    data-selection primitive — shortest-AND-highest-quality documents,
+    cheapest-AND-fastest plans — returning ``(x, y, n_dups)`` per
+    frontier point (exact duplicates don't dominate each other and
+    survive together, carried as a count).  Maximize a dimension by
+    negating it upstream.
+
+    The classic O(n log n) 2-D sweep, distributed: dominance collapses
+    to "y strictly below every y at strictly smaller x", so after one
+    hash-agg to ``min(y)``+count per distinct x (same-x rows are
+    dominated by their x-group minimum), the frontier test is a STRICT
+    prefix-min over the x order — computed with `global_prefix_sum`'s
+    two-pass layout (range partition by x → per-partition prefix min →
+    ≤#partitions-row fold of partition minima → broadcast combine),
+    never a single-task global window and never the naive
+    self-anti-join whose range condition is O(n²).  NULL in either
+    column drops the row (NULL is not comparable under dominance).
+    """
+    xy = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # per distinct x keep only its minimal y (struct min is
+    # lexicographic; (x, y) is unique here so c never decides)
+    pts = (
+        xy.groupBy("x")
+        .agg(F.min(F.struct("y", "c")).alias("s"))
+        .select("x", F.col("s.y").alias("y"), F.col("s.c").alias("n_dups"))
+    )
+    parted = pts.repartitionByRange("x").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_prev = (
+        Window.partitionBy("__pid")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parted.withColumn("__prev_min", F.min("y").over(w_prev))
+    part_min = parted.groupBy("__pid").agg(F.min("y").alias("__pmin"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ #partitions rows — the one safe global window
+    offsets = part_min.select(
+        "__pid", F.min("__pmin").over(w_off).alias("__off_min")
+    )
+    before = F.when(
+        F.col("__prev_min").isNull(), F.col("__off_min")
+    ).when(
+        F.col("__off_min").isNull(), F.col("__prev_min")
+    ).otherwise(F.least("__prev_min", "__off_min"))
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("__before", before)
+        .filter(F.col("__before").isNull() | (F.col("y") < F.col("__before")))
+        .select("x", "y", "n_dups")
+    )

@@ -425,3 +425,18 @@ def test_interval_merge_one_sort_one_exchange(spark):
     assert "Join" not in plan
     assert plan.count("Sort [") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skyline_no_dominance_self_join(spark):
+    from omop2owl_vocab_spark.operators.scan import skyline_2d
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    plan = _plan(skyline_2d(df, "x", "y"))
+    # distributed sweep, not the O(n²) dominance join: range-partitioned
+    # data path, exactly one single-partition exchange (the tiny
+    # partition-minima fold), offsets back via broadcast — and no
+    # nested-loop/cartesian anywhere
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
