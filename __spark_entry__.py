@@ -4730,6 +4730,81 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+_KMV_I_K = 128
+
+
+def _q_kmv_intersect(spark, sf_dir):
+    """Theta-sketch intersection (`operators/sketch.py:kmv_intersect`,
+    k=128): overlap of the customer key set with the keys actually
+    ordering — two TakeOrderedAndProject bottom-k sketches, shared
+    theta, one k⋈k join — exact true intersection joined alongside for
+    the error story, every number replayed by the DuckDB oracle."""
+    from omop2owl_vocab_spark.operators.sketch import kmv_intersect
+
+    a = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("v")
+    )
+    b = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("v")
+    )
+    est = kmv_intersect(a, b, "v", k=_KMV_I_K)
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "v", "left_semi")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+_Q_KMV_INTERSECT_SQL = rf"""
+WITH ha AS (
+  SELECT DISTINCT list_reduce(
+    list_transform(string_split(substr(md5(CAST(c_custkey AS VARCHAR)),
+                                       1, 15), ''),
+                   c -> CAST(strpos('123456789abcdef', c) AS BIGINT)),
+    (a, b) -> a * 16 + b) AS h
+  FROM customer
+),
+hb AS (
+  SELECT DISTINCT list_reduce(
+    list_transform(string_split(substr(md5(CAST(o_custkey AS VARCHAR)),
+                                       1, 15), ''),
+                   c -> CAST(strpos('123456789abcdef', c) AS BIGINT)),
+    (a, b) -> a * 16 + b) AS h
+  FROM orders
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_I_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_I_K}),
+sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, MAX(h) AS mxa FROM ka),
+sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, MAX(h) AS mxb FROM kb),
+st AS (
+  SELECT na, nb,
+         CAST(LEAST(CASE WHEN na = {_KMV_I_K} THEN mxa
+                         ELSE {16**15} END,
+                    CASE WHEN nb = {_KMV_I_K} THEN mxb
+                         ELSE {16**15} END) AS BIGINT) AS theta
+  FROM sa CROSS JOIN sb
+),
+cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ka JOIN kb USING (h) CROSS JOIN st
+  WHERE ka.h < st.theta
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+    SELECT DISTINCT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  )
+)
+SELECT st.na AS n_a, st.nb AS n_b, st.theta, cm.n_common,
+       CAST(floor(CAST(cm.n_common AS DOUBLE) * {float(16**15)!r}
+                  / CAST(st.theta AS DOUBLE) + 0.5) AS BIGINT)
+         AS inter_est,
+       ex.exact_inter
+FROM st CROSS JOIN cm CROSS JOIN ex
+"""
+
+
 def _q_skyline(spark, sf_dir):
     """2-D Pareto frontier (`operators/scan.py:skyline_2d`): parts not
     dominated on (size, price-cents) under minimization — per-x min
@@ -5723,6 +5798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_kmv_intersect": _q_kmv_intersect,
         "q_skyline": _q_skyline,
         "kg_ppr": _kg_ppr,
         "sim_centroids": _sim_centroids,
@@ -5862,6 +5938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_kmv_intersect": _Q_KMV_INTERSECT_SQL,
         "q_skyline": _Q_SKYLINE_SQL,
         "kg_ppr": _KG_PPR_SQL,
         "sim_centroids": _SIM_CENTROIDS_SQL,

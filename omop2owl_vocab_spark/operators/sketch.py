@@ -212,3 +212,94 @@ def hll_estimate(
         .cast("long")
         .alias("est_e4"),
     )
+
+
+def kmv_intersect(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch-style SET-INTERSECTION estimate from two KMV
+    sketches — the sketch-algebra step `kmv_distinct` (one set) and
+    `hll_registers` (union by merge) can't do: one row
+    ``(n_a, n_b, theta, n_common, inter_est)`` where ``theta`` is the
+    smaller of the two k-th-smallest 60-bit hashes (the shared sampling
+    threshold; 16^15 when a side holds fewer than k distinct values and
+    is therefore EXACT), ``n_common`` counts hash values below theta
+    present in BOTH sketches, and
+
+        inter_est = floor(n_common · 16^15 / theta + 0.5)
+
+    — the standard theta estimator (each distinct element of A∩B lands
+    below theta with probability theta/16^15), one IEEE double division
+    like `kmv_distinct`'s, so the DuckDB oracle reproduces it
+    hash-exact.  Audience: overlap QA between corpus snapshots or
+    dedup shards without materializing either side's distinct set.
+
+    Plan: per side, one distinct hash-agg and an
+    ``orderBy(h).limit(k)`` that Spark executes as
+    TakeOrderedAndProject (per-partition heaps, O(k) driver merge —
+    never a global sort), then two k-row broadcast-sized folds and one
+    k⋈k hash join.  Everything after the two input scans touches at
+    most 2k rows.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3")
+
+    def _sketch(df: DataFrame):
+        hashes = (
+            df.select(kmv_hash(F.col(value_col)).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        stats = hashes.agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("h").alias("mx"),
+        )
+        return hashes, stats
+
+    ha, sa = _sketch(a)
+    hb, sb = _sketch(b)
+    full = float(_HEX_SPACE)
+    theta_a = F.when(F.col("na") == k, F.col("mxa")).otherwise(
+        F.lit(int(_HEX_SPACE))
+    )
+    theta_b = F.when(F.col("nb") == k, F.col("mxb")).otherwise(
+        F.lit(int(_HEX_SPACE))
+    )
+    stats = (
+        sa.select(F.col("n").alias("na"), F.col("mx").alias("mxa"))
+        .crossJoin(
+            sb.select(F.col("n").alias("nb"), F.col("mx").alias("mxb"))
+        )
+        .select(
+            "na",
+            "nb",
+            F.least(theta_a, theta_b).cast("long").alias("theta"),
+        )
+    )
+    common = (
+        ha.join(hb, "h")
+        .crossJoin(F.broadcast(stats.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(common))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "theta",
+            "n_common",
+            F.floor(
+                F.col("n_common").cast("double")
+                * F.lit(full)
+                / F.col("theta").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("inter_est"),
+        )
+    )
