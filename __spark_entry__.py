@@ -4730,6 +4730,67 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _q_changepoint(spark, sf_dir):
+    """Exact-integer level-shift detection (`operators/timeseries.py:
+    changepoint_split`): per-event-type daily volumes cut at the split
+    maximizing |mean_left − mean_right| — the score is an e6 integer
+    from decimal(38) cross-multiplication (no float mean), argmax
+    tie-broken toward the earliest split, one sort per key shared by
+    all three windows."""
+    from omop2owl_vocab_spark.operators.timeseries import changepoint_split
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return changepoint_split(daily, ["event_type"], "day", "n_events")
+
+
+_Q_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, day
+),
+staged AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(n_events) OVER (PARTITION BY event_type) AS tot
+  FROM daily
+),
+scored AS (
+  SELECT event_type, t, n, s, tot,
+         CAST((abs(CAST(s AS HUGEINT) * (n - t)
+                   - (CAST(tot AS HUGEINT) - s) * t) * 1000000)
+              // (CAST(t AS HUGEINT) * (n - t)) AS BIGINT) AS score
+  FROM staged WHERE t < n
+),
+best AS (
+  SELECT event_type, t, n, s, tot, score,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY score DESC, t ASC) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(t AS BIGINT) AS split_after,
+       CAST(n AS BIGINT) AS n,
+       CAST(t AS BIGINT) AS n_left,
+       CAST(s AS BIGINT) AS sum_left,
+       CAST(tot AS BIGINT) AS sum_total,
+       score AS score_e6
+FROM best WHERE rk = 1
+"""
+
+
 _KMV_I_K = 128
 
 
@@ -5798,6 +5859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "q_changepoint": _q_changepoint,
         "q_kmv_intersect": _q_kmv_intersect,
         "q_skyline": _q_skyline,
         "kg_ppr": _kg_ppr,
@@ -5938,6 +6000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_changepoint": _Q_CHANGEPOINT_SQL,
         "q_kmv_intersect": _Q_KMV_INTERSECT_SQL,
         "q_skyline": _Q_SKYLINE_SQL,
         "kg_ppr": _KG_PPR_SQL,

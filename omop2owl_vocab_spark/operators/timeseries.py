@@ -296,3 +296,78 @@ def rolling_median(
         F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias("med"),
         F.size(arr).cast("long").alias("n_window"),
     )
+
+
+def changepoint_split(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single changepoint per key — the split maximizing the
+    between-segment mean shift: ``(keys..., split_after, n, n_left,
+    sum_left, sum_total, score_e6)`` where the series (ordered by
+    ``order_col``) is cut after position ``split_after`` (1-based,
+    1 ≤ split_after < n) and
+
+        score = |mean_left − mean_right|
+              = |S_t·(n−t) − (S_n−S_t)·t| / (t·(n−t))
+
+    evaluated in EXACT integer arithmetic: the numerator rides
+    decimal(38), the score is e6 fixed point by integer division, and
+    the argmax breaks ties toward the EARLIEST split — fully
+    deterministic, no float mean anywhere.  The level-shift detector
+    for monitoring curves (did daily volume step up?, where did quality
+    jump after a pipeline change?); keys with n < 2 are dropped (no
+    valid split).
+
+    Plan shape: one shuffle+sort per key shared by the running-sum and
+    row-number windows, a per-key total via the unordered window on the
+    same partitioning, then a single ``max_by`` hash-agg picking the
+    argmax struct — linear in rows, state O(1) per row.
+    """
+    w_ord = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__t", F.row_number().over(
+            Window.partitionBy(*keys).orderBy(order_col)
+        ))
+        .withColumn("__s", F.sum(value_col).over(w_ord))
+        .withColumn("__n", F.count("*").over(w_all))
+        .withColumn("__tot", F.sum(value_col).over(w_all))
+        .filter(F.col("__t") < F.col("__n"))
+    )
+    scored = staged.withColumn(
+        "__score",
+        F.expr(
+            "CAST((abs(CAST(__s AS DECIMAL(38,0)) * (__n - __t)"
+            " - (CAST(__tot AS DECIMAL(38,0)) - __s) * __t) * 1000000)"
+            " div (CAST(__t AS DECIMAL(38,0)) * (__n - __t)) AS BIGINT)"
+        ),
+    )
+    best = scored.groupBy(*keys).agg(
+        F.max(
+            F.struct(
+                F.col("__score").alias("score_e6"),
+                (-F.col("__t")).alias("neg_t"),
+                F.col("__t").alias("split_after"),
+                F.col("__n").alias("n"),
+                F.col("__s").alias("sum_left"),
+                F.col("__tot").alias("sum_total"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        *keys,
+        F.col("b.split_after").cast("long").alias("split_after"),
+        F.col("b.n").cast("long").alias("n"),
+        F.col("b.split_after").cast("long").alias("n_left"),
+        F.col("b.sum_left").cast("long").alias("sum_left"),
+        F.col("b.sum_total").cast("long").alias("sum_total"),
+        F.col("b.score_e6").alias("score_e6"),
+    )
