@@ -4783,7 +4783,6 @@ best AS (
 SELECT event_type,
        CAST(t AS BIGINT) AS split_after,
        CAST(n AS BIGINT) AS n,
-       CAST(t AS BIGINT) AS n_left,
        CAST(s AS BIGINT) AS sum_left,
        CAST(tot AS BIGINT) AS sum_total,
        score AS score_e6

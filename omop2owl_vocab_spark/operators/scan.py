@@ -33,17 +33,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_prefix_sum(
+def _scan_with_offsets(
     df: DataFrame,
     order_by: list[Column],
     value_col: str,
-    out_col: str = "cum",
+    agg,
+    inclusive: bool,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Every input row extended with ``out_col`` = the running total of
-    ``value_col`` over the global ``order_by`` ordering (inclusive of
-    the current row).  Exact long arithmetic; the result is identical
-    for ANY partition count — boundaries move work, not values."""
+    """The shared two-pass distributed-scan scaffold behind
+    `global_prefix_sum` and `skyline_2d`: range-partition on the order
+    key, run the per-partition prefix ``agg`` (``F.sum``/``F.min``/...)
+    over the ``order_by`` order — inclusive of the current row or
+    strictly before it — and attach ``__off`` = the same ``agg`` folded
+    over all PRECEDING partitions' totals (NULL for the first
+    partition).  Returns the input rows plus ``__local`` and ``__off``;
+    callers combine the two and drop the scratch columns.
+
+    The totals branch hangs off the PRE-window frame so it shares only
+    the range exchange with the data path, never the per-partition
+    sort/window subtree (which would otherwise be evaluated twice per
+    action).
+    """
     order_by = list(order_by)
     if not order_by:
         raise ValueError("order_by must be non-empty")
@@ -56,30 +67,43 @@ def global_prefix_sum(
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(
+            Window.unboundedPreceding,
+            Window.currentRow if inclusive else -1,
+        )
     )
-    local = staged.withColumn(
-        "__local", F.sum(value_col).over(w_local)
-    )
-    # totals hang off the PRE-window frame: the offsets branch then
-    # shares only the range exchange with the data path, not the
-    # per-partition sort/window subtree (which would otherwise be
-    # evaluated twice per action)
-    totals = staged.groupBy("__pid").agg(
-        F.sum(value_col).cast("long").alias("__total")
-    )
+    local = staged.withColumn("__local", agg(value_col).over(w_local))
+    totals = staged.groupBy("__pid").agg(agg(value_col).alias("__total"))
     w_off = (
         Window.orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )  # ≤ #partitions rows — the one place a global window is right
     offsets = totals.select(
-        "__pid",
-        F.coalesce(F.sum("__total").over(w_off), F.lit(0)).alias("__off"),
+        "__pid", agg("__total").over(w_off).alias("__off")
+    )
+    return local.join(F.broadcast(offsets), "__pid")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Every input row extended with ``out_col`` = the running total of
+    ``value_col`` over the global ``order_by`` ordering (inclusive of
+    the current row).  Exact long arithmetic; the result is identical
+    for ANY partition count — boundaries move work, not values."""
+    scanned = _scan_with_offsets(
+        df, order_by, value_col, F.sum, inclusive=True,
+        num_partitions=num_partitions,
     )
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            out_col, (F.col("__local") + F.col("__off")).cast("long")
+        scanned.withColumn(
+            out_col,
+            (F.col("__local") + F.coalesce(F.col("__off"), F.lit(0)))
+            .cast("long"),
         )
         .drop("__pid", "__local", "__off")
     )
@@ -146,30 +170,16 @@ def skyline_2d(
         .agg(F.min(F.struct("y", "c")).alias("s"))
         .select("x", F.col("s.y").alias("y"), F.col("s.c").alias("n_dups"))
     )
-    parted = pts.repartitionByRange("x").withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w_prev = (
-        Window.partitionBy("__pid")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = parted.withColumn("__prev_min", F.min("y").over(w_prev))
-    part_min = parted.groupBy("__pid").agg(F.min("y").alias("__pmin"))
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # ≤ #partitions rows — the one safe global window
-    offsets = part_min.select(
-        "__pid", F.min("__pmin").over(w_off).alias("__off_min")
+    scanned = _scan_with_offsets(
+        pts, [F.col("x").asc()], "y", F.min, inclusive=False
     )
     before = F.when(
-        F.col("__prev_min").isNull(), F.col("__off_min")
+        F.col("__local").isNull(), F.col("__off")
     ).when(
-        F.col("__off_min").isNull(), F.col("__prev_min")
-    ).otherwise(F.least("__prev_min", "__off_min"))
+        F.col("__off").isNull(), F.col("__local")
+    ).otherwise(F.least("__local", "__off"))
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn("__before", before)
+        scanned.withColumn("__before", before)
         .filter(F.col("__before").isNull() | (F.col("y") < F.col("__before")))
         .select("x", "y", "n_dups")
     )

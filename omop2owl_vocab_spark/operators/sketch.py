@@ -248,8 +248,12 @@ def kmv_intersect(
         raise ValueError("k must be >= 3")
 
     def _sketch(df: DataFrame):
+        # NULLs never enter the sketch: a NULL hash would sort FIRST in
+        # Spark (stealing a slot and flipping the exact path's theta)
+        # but LAST in DuckDB — a silent cross-engine divergence
         hashes = (
-            df.select(kmv_hash(F.col(value_col)).alias("h"))
+            df.filter(F.col(value_col).isNotNull())
+            .select(kmv_hash(F.col(value_col)).alias("h"))
             .distinct()
             .orderBy("h")
             .limit(k)

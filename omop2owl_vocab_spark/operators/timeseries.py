@@ -305,10 +305,10 @@ def changepoint_split(
     value_col: str,
 ) -> DataFrame:
     """Single changepoint per key — the split maximizing the
-    between-segment mean shift: ``(keys..., split_after, n, n_left,
-    sum_left, sum_total, score_e6)`` where the series (ordered by
-    ``order_col``) is cut after position ``split_after`` (1-based,
-    1 ≤ split_after < n) and
+    between-segment mean shift: ``(keys..., split_after, n, sum_left,
+    sum_total, score_e6)`` where the series (ordered by ``order_col``)
+    is cut after position ``split_after`` (1-based, 1 ≤ split_after <
+    n; ``split_after`` IS the left-segment row count) and
 
         score = |mean_left − mean_right|
               = |S_t·(n−t) − (S_n−S_t)·t| / (t·(n−t))
@@ -325,6 +325,11 @@ def changepoint_split(
     row-number windows, a per-key total via the unordered window on the
     same partitioning, then a single ``max_by`` hash-agg picking the
     argmax struct — linear in rows, state O(1) per row.
+
+    ``order_col`` must be UNIQUE per key (day index, timestamp) — with
+    ties the prefix sums depend on arbitrary intra-tie order and the
+    result is no longer deterministic; same contract as
+    `scan.global_prefix_sum` and `rolling_median`.
     """
     w_ord = (
         Window.partitionBy(*keys)
@@ -366,7 +371,6 @@ def changepoint_split(
         *keys,
         F.col("b.split_after").cast("long").alias("split_after"),
         F.col("b.n").cast("long").alias("n"),
-        F.col("b.split_after").cast("long").alias("n_left"),
         F.col("b.sum_left").cast("long").alias("sum_left"),
         F.col("b.sum_total").cast("long").alias("sum_total"),
         F.col("b.score_e6").alias("score_e6"),
