@@ -11,7 +11,7 @@ Every entry has a SQL oracle: the LSH family (minhash, simhash, hyperplane
 ANN) uses md5-derived hashing in these driver queries so DuckDB re-derives
 the identical signatures/buckets, the subword tokenizer is replayed by a
 recursive CTE over distinct words, and the multimodal feature extractor
-exports an exact-integer long form — 130/130 hash-checkable (r5;
+exports an exact-integer long form — 131/131 hash-checkable (r5;
 CORRECTNESS_FULL_r05.json carries the full record since the driver
 harness truncates at the first 50 dict entries — newest queries lead).
 """
@@ -4730,6 +4730,51 @@ FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
 
 
+def _pipe_allocate(spark, sf_dir):
+    """Hamilton largest-remainder apportionment (`operators/sample.py:
+    allocate_budget`): 1000 sample slots split across (lang, source)
+    strata of the documents corpus, Σ alloc == 1000 EXACTLY — base
+    shares and remainder numerators in decimal(38) integers (no float
+    ratio to round differently per engine), leftover seats by a total
+    (remainder, group) order."""
+    from omop2owl_vocab_spark.operators.sample import allocate_budget
+
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return allocate_budget(counts, ["lang", "source"], "n", budget=1000)
+
+
+_PIPE_ALLOCATE_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+t AS (SELECT SUM(n) AS total FROM c),
+s AS (
+  SELECT lang, source, n,
+         CAST((CAST(1000 AS HUGEINT) * n) // t.total AS BIGINT) AS base,
+         CAST(CAST(1000 AS HUGEINT) * n
+              - ((CAST(1000 AS HUGEINT) * n) // t.total) * t.total
+              AS BIGINT) AS rem
+  FROM c CROSS JOIN t
+),
+l AS (SELECT 1000 - SUM(base) AS leftover FROM s),
+r AS (
+  SELECT lang, source, n, base, rem,
+         row_number() OVER (ORDER BY rem DESC, lang ASC, source ASC)
+           AS rk
+  FROM s
+)
+SELECT r.lang, r.source, r.n,
+       CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r CROSS JOIN l
+"""
+
+
 def _q_changepoint(spark, sf_dir):
     """Exact-integer level-shift detection (`operators/timeseries.py:
     changepoint_split`): per-event-type daily volumes cut at the split
@@ -5858,6 +5903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, interval join, KMV sketch, PMI collocations,
         # as-of join, line dedup, tf-idf, tokenizer-exact packing,
         # ANN recall metric
+        "pipe_allocate": _pipe_allocate,
         "q_changepoint": _q_changepoint,
         "q_kmv_intersect": _q_kmv_intersect,
         "q_skyline": _q_skyline,
@@ -5999,6 +6045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pipe_allocate": _PIPE_ALLOCATE_SQL,
         "q_changepoint": _Q_CHANGEPOINT_SQL,
         "q_kmv_intersect": _Q_KMV_INTERSECT_SQL,
         "q_skyline": _Q_SKYLINE_SQL,

@@ -267,3 +267,75 @@ def cyclic_negatives(
         partner,
         (F.col("__b") == F.col("__pb")) & (F.col("__nidx") == F.col("__pidx")),
     ).select(F.col(id_col), "neg_id", "j")
+
+
+def allocate_budget(
+    counts: DataFrame,
+    group_cols: list[str],
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """EXACT proportional apportionment of an integer budget across
+    groups — the largest-remainder (Hamilton) method: each group gets
+    ``floor(budget·n/total)`` and the leftover seats go to the largest
+    fractional remainders, ties broken by the group key ascending.
+    Output ``(group_cols..., n, alloc)`` with Σ alloc == budget
+    EXACTLY — the guarantee `stratified_sample` callers need when "5%
+    per stratum" must land on a hard global sample count, and float
+    rounding per group would drift by ± #groups.
+
+    All integer: the base share and the remainder numerator
+    ``budget·n − base·total`` ride decimal(38) (no float ratio exists
+    to round differently per engine), and the leftover ranking is a
+    total order on ``(remainder, group)``.  Groups with n = 0 get 0.
+
+    Plan shape: one single-row total (broadcast back) → a pure
+    projection for base/remainder → one row_number window over the
+    GROUP table (group-count-sized — the same "tiny global window"
+    posture as `scan.py`'s offset fold; the data-sized work happened
+    upstream in whatever produced ``counts``).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    base_frame = counts.select(
+        *[F.col(c) for c in group_cols],
+        F.col(size_col).cast("long").alias("n"),
+    )
+    total = base_frame.agg(F.sum("n").cast("long").alias("__total"))
+    staged = base_frame.crossJoin(F.broadcast(total)).select(
+        *group_cols,
+        "n",
+        F.expr(
+            f"CAST((CAST({budget} AS DECIMAL(38,0)) * n) div __total"
+            " AS BIGINT)"
+        ).alias("__base"),
+        F.expr(
+            f"CAST(CAST({budget} AS DECIMAL(38,0)) * n"
+            f" - ((CAST({budget} AS DECIMAL(38,0)) * n) div __total)"
+            " * __total AS BIGINT)"
+        ).alias("__rem"),
+    )
+    leftover = staged.agg(
+        (F.lit(budget) - F.coalesce(F.sum("__base"), F.lit(0)))
+        .cast("long")
+        .alias("__left")
+    )
+    w = Window.orderBy(
+        F.col("__rem").desc(), *[F.col(c).asc() for c in group_cols]
+    )
+    return (
+        staged.withColumn("__rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            *group_cols,
+            "n",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
