@@ -905,8 +905,11 @@ def _dd_minhash_verified(spark, sf_dir):
         word_shingles,
     )
 
+    from omop2owl_vocab_spark.operators.dedup import _materialize
+
     docs = _docs64(spark, sf_dir)
-    sh = word_shingles(docs)
+    # shared by the signature chain AND the verification (guide §5)
+    sh = _materialize(word_shingles(docs))
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, 32, hash_family="md5"),
         bands=8,
@@ -1975,25 +1978,38 @@ SELECT node, MIN(other) AS component FROM reach GROUP BY node
 def _sim_near_dup_exact(spark, sf_dir):
     """Brute-force cosine near-dup pairs (query side bounded to id < 200 so
     the all-pairs form stays a baseline, not a scale path — that's
-    sim_ann_bucketed / embedding_near_duplicates)."""
+    sim_ann_bucketed / embedding_near_duplicates).
+
+    r6: norms are attached per VECTOR before the pair join (they were
+    re-folded per PAIR — q·n norm folds instead of q+n; guide §1.2), and
+    the streamed corpus side is spread off the single testdata row-group
+    (same rationale/measurement as ``_docs64`` — the nested-loop stage
+    otherwise runs on one core).  Identical expression tree per value →
+    bit-identical cos."""
     emb = _t(spark, sf_dir, "embeddings")
+
+    def _nrm(v):
+        return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
     a = emb.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").cast("array<double>").alias("va"),
-    )
-    b = emb.select(
+    ).withColumn("na", _nrm(F.col("va")))
+    b = emb.repartition(64).select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").cast("array<double>").alias("vb"),
-    )
+    ).withColumn("nb", _nrm(F.col("vb")))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    norm_a = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    norm_b = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     # zero-norm guard mirrored in the SQL oracle (ANSI-safe, NULL-excluded)
-    cos = F.when(norm_a * norm_b > 0, dot / (norm_a * norm_b))
+    cos = F.when(F.col("na") * F.col("nb") > 0, dot / (F.col("na") * F.col("nb")))
+    # broadcast the BOUNDED query side explicitly: left to its size
+    # estimates the planner broadcasts the 10×-larger corpus and streams
+    # the 200-row side on its single scan partition (serial nested loop);
+    # with the hint the corpus streams across the repartitioned splits
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos").isNotNull() & (F.col("cos") >= 0.3))
         .select(

@@ -41,6 +41,21 @@ def _cosine(a, b):
     return F.when(denom > 0, _dot(a, b) / denom)
 
 
+def _cosine_pre(a, b, na, nb):
+    """`_cosine` with the two norms already materialized as columns.
+
+    Norms are per-VECTOR quantities; evaluating them inside the pair
+    expression recomputes each side's norm once per PAIR (q·n times for
+    a q×n join) because HOF lambdas sit outside Catalyst CSE.  Callers
+    attach ``_norm(v)`` to each side before the join so every vector's
+    norm is computed exactly once (guide §1.2 step 1: don't compute
+    things you throw away).  The arithmetic is the identical expression
+    tree (`sqrt(fold)` per side, then the same product/division), so
+    results are bit-identical to `_cosine`."""
+    denom = na * nb
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,12 +71,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    cos = _cosine(F.col("qv"), F.col("cv"))
+    ).withColumn("cn", _norm(F.col("cv")))
+    cos = _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -207,13 +222,13 @@ def ann_topk_bucketed(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         "bucket",
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "bucket",
-    )
-    cos = _cosine(F.col("qv"), F.col("cv"))
+    ).withColumn("cn", _norm(F.col("cv")))
+    cos = _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -317,13 +332,13 @@ def ivf_topk(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("cv"),
         "centroid_id",
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     ql = ivf_assign(queries, centroids, id_col, vec_col, rank_limit=nprobe).select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qv"),
         "centroid_id",
-    )
-    cos = _cosine(F.col("qv"), F.col("cv"))
+    ).withColumn("qn", _norm(F.col("qv")))
+    cos = _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     scored = (
         cl.join(F.broadcast(ql), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -383,12 +398,12 @@ def embedding_near_duplicates(
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
-    )
+    ).withColumn("na", _norm(F.col("va")))
     vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-    )
-    cos = _cosine(F.col("va"), F.col("vb"))
+    ).withColumn("nb", _norm(F.col("vb")))
+    cos = _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

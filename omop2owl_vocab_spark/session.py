@@ -24,6 +24,21 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's post-shuffle coalescing target.  The upstream default (64m)
+    # is sized for shuffle-bound byte streams; the engine's verify/join
+    # stages are COMPUTE-dense per byte (candidate pairs are ~16 B/row
+    # but expand into array intersections / Levenshtein / hash work
+    # downstream), and at 64m AQE collapses them to 1-2 partitions,
+    # serializing the stage (measured: the dd_prefix_join verify ran on
+    # 2 of 32 cores).  8m keeps small-byte/heavy-CPU stages parallel
+    # while large shuffles are untouched (they already exceed the
+    # advisory per initial partition, so nothing coalesces).  Bytes-
+    # based, so the setting is scale-adaptive rather than tuned to one
+    # host; override for pure-ETL byte-bound clusters via env (guide
+    # §2.2 recommends 100 MB-1 GB partitions there).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION", "8m"
+    ),
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
     # triple tables are tall+narrow; bigger record batches amortize Arrow overhead
