@@ -43,6 +43,19 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "128m",
     # triple tables are tall+narrow; bigger record batches amortize Arrow overhead
     "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
+    # Optimizer-inference toggle, OFF for this engine's workload: the
+    # iterative operators (connected components, DAG layering, PageRank,
+    # BFS/LPA/k-core rounds) re-join a localCheckpoint()ed state frame
+    # against a static edge list every round, and LogicalRDD PRESERVES
+    # the origin plan's constraints across the checkpoint, so
+    # InferFiltersFromConstraints compounds the join-inferred predicate
+    # round over round — measured: the kg_dag_levels scan filter reached
+    # 112 KB of nested (div/mod) conjuncts by round 4 and per-round time
+    # DOUBLED (0.9 → 11.2 s by round 5); with propagation off rounds are
+    # flat at 0.35 s.  Semantics-neutral (constraints only feed inferred
+    # filters/plan pruning); explicit isnotnull/range predicates in the
+    # operators are unaffected.
+    "spark.sql.constraintPropagation.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
