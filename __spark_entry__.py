@@ -4608,7 +4608,17 @@ def _q_cumulative_distinct(spark, sf_dir):
     out = cumulative_distinct(
         ev, ["user_id"], "event_type", ["ts_us", "event_id"]
     )
-    return out.select("user_id", "event_id", "n_seen")
+    # n_seen rides as DOUBLE deliberately (r5 driver red row): the
+    # oracle's window SUM over an integer column is the one HUGEINT
+    # producer in the file (verified by a types sweep over all 131
+    # oracles), and DuckDB HUGEINT reaches the driver's pandas
+    # canonicalizer as float64 — so the long-typed Spark column hashed
+    # as `3` against the oracle's `3.0`.  The oracle SQL is frozen;
+    # mirroring its pandas dtype on the Spark side makes both sides
+    # canonicalize identically.  Values are exact (counts < 2^53).
+    return out.select(
+        "user_id", "event_id", F.col("n_seen").cast("double").alias("n_seen")
+    )
 
 
 _Q_CUMULATIVE_DISTINCT_SQL = """

@@ -757,8 +757,15 @@ def deterministic_walks(
         F.col("node").cast("string").alias("path"),
     )
     for step in range(1, length + 1):
+        # r5 advice: reduce cur mod 2^31 BEFORE the multiply — the raw
+        # product overflows int64 for node ids above ~3.47e9 (silent
+        # wraparound non-ANSI, runtime error under ansi.enabled, and
+        # divergence from any HUGEINT-based replay).  (2^31-1)·mult_a +
+        # step·mult_b < 2^63 always; ids in [0, 2^31) — every declared
+        # graph — hash identically to the unreduced form.
         idx = F.pmod(
-            F.col("cur") * F.lit(mult_a) + F.lit(step * mult_b),
+            F.pmod(F.col("cur"), F.lit(1 << 31)) * F.lit(mult_a)
+            + F.lit(step * mult_b),
             F.size("nbrs"),
         )
         walks = (

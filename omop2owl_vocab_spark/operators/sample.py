@@ -304,18 +304,34 @@ def allocate_budget(
         F.col(size_col).cast("long").alias("n"),
     )
     total = base_frame.agg(F.sum("n").cast("long").alias("__total"))
+    # r5 advice: a zero-mass input (Σ n == 0, incl. the empty frame)
+    # made ``div __total`` NULL and silently broke the Σ alloc == budget
+    # invariant.  Now: budget == 0 degrades to all-zero allocations
+    # (trivially conserving), while a POSITIVE budget over zero mass
+    # raises — there is no valid apportionment to hide behind NULLs.
+    ok = F.assert_true(
+        (F.lit(budget) == 0) | (F.col("__total") > 0),
+        "allocate_budget: zero-mass input (sum of size_col is 0) cannot "
+        "absorb a positive budget",
+    ).isNull()
     staged = base_frame.crossJoin(F.broadcast(total)).select(
         *group_cols,
         "n",
-        F.expr(
-            f"CAST((CAST({budget} AS DECIMAL(38,0)) * n) div __total"
-            " AS BIGINT)"
-        ).alias("__base"),
-        F.expr(
-            f"CAST(CAST({budget} AS DECIMAL(38,0)) * n"
-            f" - ((CAST({budget} AS DECIMAL(38,0)) * n) div __total)"
-            " * __total AS BIGINT)"
-        ).alias("__rem"),
+        F.when(
+            ok & (F.col("__total") > 0),
+            F.expr(
+                f"CAST((CAST({budget} AS DECIMAL(38,0)) * n) div __total"
+                " AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("__base"),
+        F.when(
+            ok & (F.col("__total") > 0),
+            F.expr(
+                f"CAST(CAST({budget} AS DECIMAL(38,0)) * n"
+                f" - ((CAST({budget} AS DECIMAL(38,0)) * n) div __total)"
+                " * __total AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("__rem"),
     )
     leftover = staged.agg(
         (F.lit(budget) - F.coalesce(F.sum("__base"), F.lit(0)))

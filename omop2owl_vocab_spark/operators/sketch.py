@@ -75,7 +75,13 @@ def kmv_distinct(
         raise ValueError("k must be >= 3 (estimator needs k-1 >= 2)")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    hashed = df.select(
+    # NULL values are excluded BEFORE hashing (r5 advice): md5(NULL) is a
+    # NULL hash that survives dropDuplicates, sorts FIRST in Spark's
+    # row_number window (stealing a sketch slot and shifting kth_hash)
+    # but LAST in DuckDB — the same silent cross-engine divergence the
+    # kmv_intersect NULL fix documents; distinct-count semantics ignore
+    # NULL anyway.
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         *[F.col(c) for c in group_cols],
         kmv_hash(F.col(value_col)).alias("__h"),
     ).dropDuplicates(group_cols + ["__h"])
@@ -134,7 +140,11 @@ def hll_registers(
         raise ValueError("group_cols must be non-empty")
     m = 1 << b
     wbits = 60 - b
-    hashed = df.select(
+    # NULL exclusion mirrors kmv_distinct (r5 advice): a NULL value hashes
+    # to NULL, lands in a NULL bucket, and the NULL-falsy ``__w > 0`` test
+    # would assign the MAXIMAL rho — a phantom register that inflates the
+    # estimate and, once merged into a streaming register table, persists.
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
         *[F.col(c) for c in group_cols],
         kmv_hash(F.col(value_col)).alias("__h"),
     )

@@ -91,3 +91,55 @@ def test_fuzzy_pairs_string_ids(spark):
         for r in fuzzy_pairs(df, "id", "name", "country", max_dist=1).collect()
     ]
     assert got == [("u-a", "u-b", 1)]
+
+
+def test_fuzzy_pairs_deletion_path_matches_quadratic(spark):
+    """r6: max_dist=1 uses FastSS deletion-neighborhood candidates; the
+    pair set and distances must equal the blocked-quadratic reference
+    plan on a corpus with substitutions, insertions, deletions, exact
+    dups, empty and NULL names, and NULL blocks."""
+    from pyspark.sql import functions as F
+
+    from omop2owl_vocab_spark.operators.resolve import _canon_name
+
+    rows = [
+        (1, "alpha", "b1"), (2, "alphb", "b1"), (3, "alph", "b1"),
+        (4, "alphaa", "b1"), (5, "alpha", "b1"), (6, "beta", "b1"),
+        (7, "alpha", "b2"), (8, "", "b1"), (9, "x", "b1"),
+        (10, None, "b1"), (11, "alpha", None), (12, "ab", "b1"),
+        (13, "ba", "b1"), (14, "a!lpha##", "b1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, block string")
+    fast = {
+        (r["id_l"], r["id_r"], r["block"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "name", "block", max_dist=1).collect()
+    }
+    # reference: the generic blocked-quadratic plan (still the
+    # max_dist>=2 code path), evaluated at threshold 1
+    canon = df.select(
+        F.col("id"), F.col("block"), _canon_name(F.col("name")).alias("nm")
+    )
+    a, b = canon.alias("a"), canon.alias("b")
+    ref = {
+        (r["id_l"], r["id_r"], r["block"], r["dist"])
+        for r in a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.length("a.nm") - F.length("b.nm")) <= 1),
+        )
+        .select(
+            F.col("a.id").alias("id_l"),
+            F.col("b.id").alias("id_r"),
+            F.col("a.block").alias("block"),
+            F.levenshtein(F.col("a.nm"), F.col("b.nm"), 1)
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .collect()
+    }
+    assert fast == ref
+    # sanity: the corpus exercises every edit kind
+    dists = {d for (_, _, _, d) in ref}
+    assert dists == {0, 1}

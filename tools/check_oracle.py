@@ -84,9 +84,25 @@ def main(
             print(f"rows-only  {name}: {len(rows)} rows, cols={cols}")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
+            # Mirror the DRIVER's canonicalizer for the one dtype where
+            # fetchall() and pandas disagree: DuckDB HUGEINT reaches
+            # pandas as float64 (the r5 q_cumulative_distinct red row),
+            # while fetchall() yields Python ints.  Canonicalizing
+            # HUGEINT columns through float keeps this harness at least
+            # as strict as the driver's pandas-based one.
+            hug = [i for i, t in enumerate(otypes) if t in ("HUGEINT", "UHUGEINT")]
+            if hug:
+                orows = [
+                    tuple(
+                        float(v) if i in hug and v is not None else v
+                        for i, v in enumerate(r)
+                    )
+                    for r in orows
+                ]
         except Exception as e:
             failures.append(name)
             results[name] = {
