@@ -1914,7 +1914,11 @@ def _sim_cosine_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk(emb, queries, k=10)
+    # the corpus streams through the broadcast-join scoring stage on its
+    # scan partitioning; the testdata parquet is a single row-group, so
+    # spread it (same rationale/measurement as _docs64 — results are
+    # key-independent of partitioning)
+    return cosine_topk(emb.repartition(32), queries, k=10)
 
 
 _SIM_COSINE_TOPK_SQL = """
@@ -2541,8 +2545,11 @@ def _sim_recall(spark, sf_dir):
     from omop2owl_vocab_spark.operators.similarity import ann_recall
 
     emb = _t(spark, sf_dir, "embeddings")
+    # spread the single-row-group corpus scan: the brute-force ground
+    # truth streams the corpus through one broadcast-join stage (see
+    # _sim_cosine_topk)
     return ann_recall(
-        emb,
+        emb.repartition(32),
         emb.filter(F.col("vec_id") < 50),
         k=10,
         dim=64,

@@ -760,19 +760,33 @@ def prefix_filter_pairs(
 
     shingled = _materialize(shingled)
     freq = shingled.groupBy("shingle").agg(F.count("*").alias("__freq"))
-    sized = shingled.join(freq, "shingle")
-    w = Window.partitionBy("id").orderBy("__freq", "shingle")
+    # Dictionary-encode each distinct shingle to a long code (bijective
+    # within the run — monotonically_increasing_id over the materialized
+    # distinct-shingle frame).  Everything downstream of the one
+    # freq-attach join (which the plan needed anyway) then moves 8-byte
+    # codes instead of shingle strings: the candidate self-join keys, the
+    # pair-dedup shuffle, and the verification arrays (guide §2.3:
+    # narrower types, shuffle keys not payloads).  The prefix order
+    # becomes (__freq, __code) — still one total order shared by every
+    # document, which is the only property prefix filtering needs.
+    lex = _materialize(
+        freq.withColumn("__code", F.monotonically_increasing_id())
+    )
+    coded = _materialize(
+        shingled.join(lex, "shingle").select("id", "__freq", "__code")
+    )
+    w = Window.partitionBy("id").orderBy("__freq", "__code")
     szw = Window.partitionBy("id")
-    ranked = sized.select(
+    ranked = coded.select(
         "id",
-        "shingle",
+        "__code",
         F.row_number().over(w).alias("__rnk"),
         F.count("*").over(szw).alias("__sz"),
     )
     p_len = F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
     prefix = _materialize(
         ranked.filter(F.col("__rnk") <= p_len).select(
-            "id", "shingle", "__rnk", "__sz"
+            "id", "__code", "__rnk", "__sz"
         )
     )
     # PPJoin join-time filters (Xiao et al., WWW'08), both evaluated on
@@ -795,7 +809,7 @@ def prefix_filter_pairs(
     )
     cands = (
         prefix.alias("pa")
-        .join(prefix.alias("pb"), F.col("pa.shingle") == F.col("pb.shingle"))
+        .join(prefix.alias("pb"), F.col("pa.__code") == F.col("pb.__code"))
         .filter(
             (F.col("pa.id") < F.col("pb.id"))
             & (
@@ -810,16 +824,17 @@ def prefix_filter_pairs(
         .distinct()
     )
     # PPJoin verification: intersect the two records' (distinct) shingle
-    # sets per surviving candidate — |A∩B| = size(array_intersect), the
-    # same integer the inverted-index count produces, so jaccard_e4 is
-    # identical.  This replaces the candidate-restricted co-shingle
-    # self-join + pair semi-join + count aggregate (three shuffles over
-    # the co-occurrence stream, ~20M rows at sf0.1) with two key joins
-    # that attach each side's token array to the candidate row (guide
-    # §2.3: shuffle candidate keys, not the pair-occurrence stream).
+    # code sets per surviving candidate — |A∩B| = size(array_intersect)
+    # on the bijective codes, the same integer the inverted-index count
+    # produces, so jaccard_e4 is identical.  This replaces the
+    # candidate-restricted co-shingle self-join + pair semi-join + count
+    # aggregate (three shuffles over the co-occurrence stream, ~20M rows
+    # at sf0.1) with two key joins that attach each side's code array to
+    # the candidate row (guide §2.3: shuffle candidate keys, not the
+    # pair-occurrence stream).
     doc_sets = _materialize(
-        shingled.groupBy("id").agg(
-            F.collect_list("shingle").alias("toks"),
+        coded.groupBy("id").agg(
+            F.collect_list("__code").alias("toks"),
             F.count("*").cast("long").alias("sz"),
         )
     )

@@ -559,11 +559,16 @@ def cooccurrence_pairs(
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    # materialized once (r6): the distinct feeds both self-join sides
+    # (plus the optional basket-size prune) — without it each consumer
+    # re-scans and re-dedups the transaction table (same pattern as
+    # association_rules, which already checkpoints here)
     items = (
         df.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     if max_basket_size is not None:
         if max_basket_size < 2:
