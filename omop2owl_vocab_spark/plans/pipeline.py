@@ -229,20 +229,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     # emission: skip the dedup shuffle here when canonicalization follows
     # (it dedupes after the rewrite; one full-width shuffle instead of two)
-    triples_raw, cached = ckpt_s3.get_or_compute(
-        spark,
-        "s3_triples_raw",
-        lambda: emit_triples(
-            concepts,
-            edges,
-            relationships=cfg.relationships,
-            exclude_singletons=cfg.exclude_singletons,
-            dedupe=not cfg.canonicalize,
-        ),
-        lineage_col="vocabulary_id",
-        resume=cfg.resume,
-    )
-    report["stages"]["s3_triples_raw"] = {"cached": cached}
+    def _run_s3():
+        return ckpt_s3.get_or_compute(
+            spark,
+            "s3_triples_raw",
+            lambda: emit_triples(
+                concepts,
+                edges,
+                relationships=cfg.relationships,
+                exclude_singletons=cfg.exclude_singletons,
+                dedupe=not cfg.canonicalize,
+            ),
+            lineage_col="vocabulary_id",
+            resume=cfg.resume,
+        )
 
     if cfg.canonicalize:
         def _canon_map() -> DataFrame:
@@ -269,9 +269,30 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             report["stages"]["s4_link"] = stats
             return canonical_map(labels)
 
-        canon, cached = ckpt_s4.get_or_compute(
-            spark, "s4_canon_map", _canon_map, resume=cfg.resume
-        )
+        # s3 (emission) and s4 (equivalence CC → canon map) are
+        # INDEPENDENT given the s1 frames — overlap them from two driver
+        # threads (guide §2.6): the FIFO scheduler gives s3's stages
+        # resources first and s4's CC rounds back-fill the idle tail
+        # (the CC driver loop is collect-bound, leaving most cores free).
+        # Each stage keeps its own CheckpointManager/directory, so
+        # resume/kill semantics are unchanged; job descriptions are
+        # thread-local so the UI attribution stays correct.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f3 = pool.submit(inheritable_thread_target(_run_s3))
+            f4 = pool.submit(
+                inheritable_thread_target(
+                    lambda: ckpt_s4.get_or_compute(
+                        spark, "s4_canon_map", _canon_map, resume=cfg.resume
+                    )
+                )
+            )
+            triples_raw, cached3 = f3.result()
+            canon, cached = f4.result()
+        report["stages"]["s3_triples_raw"] = {"cached": cached3}
         report["stages"]["s4_canon_map"] = {"cached": cached}
         # the canon map is materialized in its own checkpoint now — the
         # CC rounds' reliable checkpoint files (never auto-deleted by
@@ -294,6 +315,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         # the _SUCCESS marker plays the checkpoint role)
         triples = canonicalize_triples(triples_raw, canon)
     else:
+        triples_raw, cached3 = _run_s3()
+        report["stages"]["s3_triples_raw"] = {"cached": cached3}
         triples = triples_raw
 
     if cfg.compact_output:
